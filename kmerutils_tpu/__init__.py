@@ -1,0 +1,29 @@
+"""kmerutils_tpu — a TPU-native k-mer engine.
+
+A from-scratch re-design of the capabilities of the Rust crate
+``jean-pierreBoth/kmerutils`` (reference mounted at /root/reference) as
+batched-tensor computation on TPU via JAX/XLA/Pallas.
+
+Design stance (see SURVEY.md §7):
+  * reads are device-resident, 2-bit packed into uint32 words (16 bases/word),
+  * k-mer extraction / canonicalization / hashing are closed-form vectorized
+    kernels (no per-kmer objects, no rolling recurrences — prefix-XOR scans),
+  * counting is sort/segment based (exact) with Bloom-tensor variants for
+    memory-bounded streaming,
+  * sketching (ProbMinHash / SuperMinHash / OptDens / SetSketch-HLL) is dense
+    (item × slot) VPU work with segmented reductions,
+  * multi-device scale-out uses jax.sharding.Mesh + shard_map collectives
+    (psum / all-to-all) instead of the reference's crossbeam channels.
+
+64-bit integer support is required (u64 kmers, ntHash values); we enable
+jax_enable_x64 at import time, before any JAX computation is traced.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from . import ops  # noqa: E402,F401
+from . import base  # noqa: E402,F401

@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set platform env vars BEFORE jax is imported anywhere (SURVEY.md §4:
+multi-device tests via xla_force_host_platform_device_count; no real pod
+needed).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# persistent compilation cache: most test time is XLA-CPU compiles of the
+# same graphs; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/kmerutils_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xC0FFEE)
+
+
+def random_dna(rng, n: int) -> str:
+    return "".join(rng.choice(list("ACGT"), size=n))
