@@ -1,0 +1,99 @@
+"""datasketcher CLI — per-read (or per-block) signatures + ANN export.
+
+Capability twin of /root/reference/src/bin/datasketcher.rs:48-388, same flag
+vocabulary:
+
+    datasketcher -f <file> -s <sketch_size> -k <kmer_size> -d <dump>
+                 [-b block_size] [-a algo] [ann -n nbng]
+
+Streams the file in packs of reads (10000, or 5000 in block mode — the
+reference's pack sizes, datasketcher.rs:212), sketches with ProbMinHash3a by
+default (hash = invertible wang hash of the canonical kmer,
+datasketcher.rs:222-226), writes the signature dump (magic 0xceabeadd) or
+block dump (0xceabbadd), the params JSON, and optionally a brute-force ANN
+neighbor file (the hnsw_rs export role — see ann.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="datasketcher")
+    p.add_argument("-f", "--file", required=True, dest="filename")
+    p.add_argument("-s", "--sketch", type=int, required=True, dest="sketch_size")
+    p.add_argument("-k", "--kmer", type=int, required=True, dest="kmer_size")
+    p.add_argument("-d", "--dump", required=True, dest="dumpfname")
+    p.add_argument("-b", "--block", type=int, default=0, dest="block_size")
+    p.add_argument("-a", "--algo", default="PROB3A",
+                   choices=["PROB3A", "SUPER", "SUPER2", "OPTDENS",
+                            "REVOPTDENS", "HLL"])
+    sub = p.add_subparsers(dest="cmd")
+    ann = sub.add_parser("ann")
+    ann.add_argument("-n", "--nbng", type=int, default=10)
+    return p
+
+
+def main(argv=None):
+    import kmerutils_tpu  # noqa: F401
+    from ..io import fastx, formats
+    from ..sketch.jaccard import Sketcher
+    from ..sketch.params import SeqSketcherParams, SketchAlgo, DataType, \
+        PARAMS_DUMP_FILENAME
+    from ..sketch import block as blockmod
+
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+    params = SeqSketcherParams(kmer_size=args.kmer_size,
+                               sketch_size=args.sketch_size,
+                               algo=SketchAlgo(args.algo),
+                               data_t=DataType.DNA)
+    params.dump_json(os.path.join(os.path.dirname(args.dumpfname) or ".",
+                                  PARAMS_DUMP_FILENAME))
+    st = fastx.IngestStats()
+    pack = 5000 if args.block_size else 10000
+
+    if args.block_size:
+        per_seq = []
+        for batch, idx in fastx.read_batches(args.filename, batch_reads=pack,
+                                             stats=st, bucket=False):
+            res = blockmod.block_sketch(batch, args.kmer_size,
+                                        args.sketch_size, args.block_size)
+            per_seq.extend(blockmod.flatten_for_dump(res, idx))
+        per_seq.sort(key=lambda t: t[0])
+        formats.write_block_signature_dump(args.dumpfname, args.kmer_size,
+                                           args.block_size, per_seq)
+        print(f"dumped block signatures for {len(per_seq)} reads")
+        return 0
+
+    sk = Sketcher(params=params)
+    sigs = {}
+    for batch, idx in fastx.read_batches(args.filename, batch_reads=pack,
+                                         stats=st):
+        s = np.asarray(sk.sketch_batch(batch))
+        for row, i in enumerate(idx):
+            sigs[int(i)] = s[row]
+    ordered = np.stack([sigs[i] for i in sorted(sigs)])
+    sig_u32 = ordered.astype(np.uint32) if params.algo in (
+        SketchAlgo.PROB3A, SketchAlgo.SUPER2) else ordered
+    formats.write_signature_dump(
+        args.dumpfname, args.kmer_size,
+        sig_u32 if sig_u32.dtype == np.uint32 else ordered.astype(np.uint64))
+    print(f"sketched {len(sigs)} reads in {time.time()-t0:.1f}s")
+
+    if args.cmd == "ann":
+        from ..ann import brute_force_neighbors, write_neighbor_dump
+        nn, dist = brute_force_neighbors(ordered, args.nbng)
+        write_neighbor_dump(args.dumpfname + "-ann", nn, dist)
+        print(f"wrote {args.nbng} neighbors/read to {args.dumpfname}-ann")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""parsefastq CLI — base statistics + kmer counting / unicity.
+
+Capability twin of /root/reference/src/bin/parsefastq.rs:45-256, same flag
+vocabulary:
+
+    parsefastq -f <file> [-b nb_bits] kmer (--count | --unique)
+               [-s kmer_size] [-t n_threads] [-c counter_size]
+    parsefastq -f <file> ret -b <base>
+
+Always computes base/readlen statistics ("bases.histo", "readlen.histo",
+statutils.rs dumps).  Counting writes <file>.multi_kmer.bin in the
+reference's multiple-kmer format; unicity writes <file>.once_kmer.bin with
+coordinates.  ``-t`` is accepted for interface parity (device batching
+replaces host threads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="parsefastq")
+    p.add_argument("-f", "--file", required=True, dest="filename")
+    p.add_argument("-b", "--bits", type=int, default=2, dest="nb_bits",
+                   help="bits per base for in-memory packing (2|4|8)")
+    p.add_argument("--batch-reads", type=int, default=10000)
+    sub = p.add_subparsers(dest="cmd")
+    km = sub.add_parser("kmer", help="kmer counting")
+    g = km.add_mutually_exclusive_group(required=True)
+    g.add_argument("--count", action="store_true")
+    g.add_argument("--unique", action="store_true")
+    km.add_argument("-s", "--size", type=int, default=16, dest="kmer_size")
+    km.add_argument("-t", "--threads", type=int, default=1,
+                    help="accepted for parity; batching replaces threads")
+    km.add_argument("-c", "--counter", type=int, default=8, dest="counter_size",
+                    help="bits per count in the dump (8 or 16)")
+    ret = sub.add_parser("ret", help="return times (reserved)")
+    ret.add_argument("-b", "--base", type=str, default="A")
+    return p
+
+
+def main(argv=None):
+    import kmerutils_tpu  # noqa: F401
+    from ..io import fastx
+    from ..count import exact
+    from ..io import formats
+    from .. import stats
+
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+    st = fastx.IngestStats()
+    dist = stats.ReadBaseDistribution.new()
+
+    if args.cmd == "kmer":
+        k = args.kmer_size
+        if k == 15 or k > 32:
+            print(f"kmer size {k} unsupported (14-max u32 / 16 / 17..32)",
+                  file=sys.stderr)
+            return 1
+        parts = []
+        uniq_parts = []
+        offset = 0
+        for batch, idx in fastx.read_batches(args.filename,
+                                             batch_reads=args.batch_reads,
+                                             stats=st, bucket=False):
+            dist.record_batch(batch)
+            keys, counts, rn, ps, nd = exact.count_batch_detailed(
+                batch, k, read_num_offset=offset)
+            nd = int(nd)
+            parts.append((np.asarray(keys)[:nd], np.asarray(counts)[:nd],
+                          np.asarray(rn)[:nd], np.asarray(ps)[:nd]))
+            offset += batch.n_reads
+        # merge across batches (host)
+        keys, counts = exact.merge_counts_host(
+            [(p[0], p[1]) for p in parts])
+        # first occurrence across batches = min (read, pos) per key
+        first = {}
+        for pk, _pc, pr, pp in parts:
+            for kk, rr, cc in zip(pk.tolist(), pr.tolist(), pp.tolist()):
+                cur = first.get(kk)
+                cand = (rr, cc)
+                if cur is None or cand < cur:
+                    first[kk] = cand
+        order = np.lexsort(([first[kk][1] for kk in keys.tolist()],
+                            [first[kk][0] for kk in keys.tolist()]))
+        if args.count:
+            out = args.filename + ".multi_kmer.bin"
+            bpc = 1 if args.counter_size <= 8 else 2
+            n = formats.write_multiple_kmer_dump(
+                out, k, keys[order], counts[order], bytes_per_count=bpc)
+            print(f"dumped {n} multiple kmers to {out}")
+        else:
+            sel = counts == 1
+            uk = keys[sel]
+            frn = np.array([first[kk][0] for kk in uk.tolist()], dtype=np.uint32)
+            fps = np.array([first[kk][1] for kk in uk.tolist()], dtype=np.uint32)
+            o = np.lexsort((fps, frn))
+            out = args.filename + ".once_kmer.bin"
+            formats.write_unique_kmer_dump(out, k, uk[o], frn[o], fps[o])
+            print(f"dumped {len(uk)} unique kmers to {out}")
+    else:
+        for batch, idx in fastx.read_batches(args.filename,
+                                             batch_reads=args.batch_reads,
+                                             stats=st, bucket=False):
+            dist.record_batch(batch)
+
+    dist.non_acgt = st.nb_bad_bases
+    dist.ascii_dump_acgt_distribution("bases.histo")
+    try:
+        dist.ascii_dump_readlen_distribution("readlen.histo")
+    except ValueError:
+        pass
+    print(f"reads: {st.n_reads}  bases: {st.n_bases}  "
+          f"bad reads dropped: {st.nb_bad_read}  elapsed: {time.time()-t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

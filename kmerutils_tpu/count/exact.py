@@ -89,20 +89,26 @@ def count_batch(batch: ReadBatch, k: int) -> KmerCounts:
     return count_from_values(_flatten_valid(can, valid))
 
 
-def unique_kmer_coords(batch: ReadBatch, k: int, read_num_offset: int = 0):
-    """Unique (count==1) canonical kmers with their coordinates.
+def count_batch_detailed(batch: ReadBatch, k: int, read_num_offset: int = 0):
+    """Exact counts plus the FIRST-OCCURRENCE coordinate of every distinct
+    canonical kmer (generation order: read-major, position-minor).
 
-    Twin of KmerFilter1 + its coordinate dump (kmercount.rs:985-1123): returns
-    (keys u64[N], read_num u32[N], pos u32[N], n_unique) sorted by kmer value,
-    padding keyed SENTINEL64.  The coordinate reported for a unique kmer is its
-    single occurrence.
+    Returns (keys u64[N], counts i32[N], first_read u32[N], first_pos u32[N],
+    n_distinct) with distinct kmers compacted to the front in ascending key
+    order; padding keys are SENTINEL64.
+
+    The first-occurrence coordinates reproduce the reference's dump ordering
+    (its dumps regenerate kmers in scan order and emit each on first sight,
+    kmercount.rs:186-224, 1060-1079).
     """
     can, valid, _ = kmer_mod.canonical_kmers(batch, k)
     read_num, pos = kmer_mod.kmer_coordinates(batch, k, read_num_offset)
     keys = _flatten_valid(can, valid)
     rn = jnp.ravel(read_num)
     ps = jnp.ravel(pos)
-    order = jnp.argsort(keys)
+    # stable sort: within a run of equal keys, flat (scan) order is preserved,
+    # so each run's first element is the kmer's first occurrence
+    order = jnp.argsort(keys, stable=True)
     s, rn, ps = keys[order], rn[order], ps[order]
     n = s.shape[0]
     is_real = s != SENTINEL64
@@ -111,30 +117,45 @@ def unique_kmer_coords(batch: ReadBatch, k: int, read_num_offset: int = 0):
     seg = jnp.where(is_real, seg, n - 1)
     counts = jax.ops.segment_sum(is_real.astype(jnp.int32), seg, num_segments=n)
     run_starts = jnp.nonzero(new_run, size=n, fill_value=n - 1)[0]
-    run_is_unique = counts == 1
-    # compact unique runs to the front
-    uniq_rank = jnp.cumsum(run_is_unique.astype(jnp.int32)) - 1
-    n_runs = new_run.sum()
-    n_uniq = (run_is_unique & (jnp.arange(n) < n_runs)).sum().astype(jnp.int32)
-    idx = jnp.nonzero(run_is_unique & (jnp.arange(n) < n_runs),
-                      size=n, fill_value=n - 1)[0]
-    starts = run_starts[idx]
-    live = jnp.arange(n) < n_uniq
-    out_keys = jnp.where(live, s[starts], SENTINEL64)
-    out_rn = jnp.where(live, rn[starts], 0)
-    out_ps = jnp.where(live, ps[starts], 0)
-    del uniq_rank
-    return out_keys, out_rn.astype(U32), out_ps.astype(U32), n_uniq
+    n_distinct = new_run.sum().astype(jnp.int32)
+    live = jnp.arange(n) < n_distinct
+    out_keys = jnp.where(live, s[run_starts], SENTINEL64)
+    out_counts = jnp.where(live, counts, 0)
+    out_rn = jnp.where(live, rn[run_starts], 0).astype(U32)
+    out_ps = jnp.where(live, ps[run_starts], 0).astype(U32)
+    return out_keys, out_counts, out_rn, out_ps, n_distinct
 
 
-def multiplicity_per_slot(batch: ReadBatch, k: int):
-    """count(kmer at each position) — useful for weighted sketching.
+def unique_kmer_coords(batch: ReadBatch, k: int, read_num_offset: int = 0):
+    """Unique (count==1) canonical kmers with their coordinates.
 
-    Returns int32[n_reads, P]: for every kmer slot, the multiplicity of its
-    canonical value *within its own read* (the per-read weighted histogram the
-    sketchers consume, setsketchert.rs:128-147), and the valid mask.
+    Twin of KmerFilter1 + its coordinate dump (kmercount.rs:985-1123): returns
+    (keys u64[N], read_num u32[N], pos u32[N], n_unique) sorted by kmer value,
+    padding keyed SENTINEL64.  The coordinate reported for a unique kmer is its
+    single occurrence.
     """
-    can, valid, _ = kmer_mod.canonical_kmers(batch, k)
+    keys, counts, rn, ps, n_distinct = count_batch_detailed(
+        batch, k, read_num_offset)
+    n = keys.shape[0]
+    is_unique = (counts == 1) & (jnp.arange(n) < n_distinct)
+    n_uniq = is_unique.sum().astype(jnp.int32)
+    idx = jnp.nonzero(is_unique, size=n, fill_value=n - 1)[0]
+    live = jnp.arange(n) < n_uniq
+    out_keys = jnp.where(live, keys[idx], SENTINEL64)
+    out_rn = jnp.where(live, rn[idx], 0)
+    out_ps = jnp.where(live, ps[idx], 0)
+    return out_keys, out_rn, out_ps, n_uniq
+
+
+def multiplicity_from_values(values, valid):
+    """Within-row multiplicity of every value.
+
+    values [n, P] (any uint), valid bool[n, P] -> int32[n, P] where slot p
+    holds the number of occurrences of values[i, p] within row i (0 when
+    invalid).  This is the per-row weighted histogram the probminhash
+    sketchers consume (setsketchert.rs:128-147), kept in slot-aligned form.
+    """
+    can = jnp.asarray(values)
     n, P = can.shape
     keys = jnp.where(valid, can.astype(U64), SENTINEL64)
     s = jnp.sort(keys, axis=1)
@@ -152,7 +173,13 @@ def multiplicity_per_slot(batch: ReadBatch, k: int):
     order = jnp.argsort(keys, axis=1)
     inv = jnp.argsort(order, axis=1)
     per_slot = jnp.take_along_axis(run_counts, inv, axis=1)
-    return jnp.where(valid, per_slot, 0), valid
+    return jnp.where(valid, per_slot, 0)
+
+
+def multiplicity_per_slot(batch: ReadBatch, k: int):
+    """Per-read multiplicity of the canonical kmer at every position."""
+    can, valid, _ = kmer_mod.canonical_kmers(batch, k)
+    return multiplicity_from_values(can, valid), valid
 
 
 # ---------------------------------------------------------------------------

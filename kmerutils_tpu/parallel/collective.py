@@ -1,0 +1,137 @@
+"""Multi-device counting & sketching via shard_map collectives.
+
+TPU-native re-expression of the reference's parallel inventory
+(SURVEY.md §2.10 / /root/reference/src/base/kmercount.rs):
+
+* producer->consumer channels routing kmers to per-thread counters
+  (count_kmer_threaded_one_to_many, kmercount.rs:881-974)  ==>  reads are
+  data-parallel per device; each device extracts + canonicalizes its reads'
+  kmers, computes the invhash shard id (DispatchableT, :382-420), and a
+  fixed-capacity ``all_to_all`` exchanges kmers so device d receives exactly
+  the kmers with shard id d.  Per-device count tables stay disjoint, like the
+  reference's counter pools.
+* pool merge of bloom filters (:810-814)  ==>  jax.lax.pmax over slot tensors.
+* HLL block merge (setsketchert.rs:863-888)  ==>  jax.lax.pmax of registers.
+* rayon par_iter over sequences (every sketcher)  ==>  reads-data-parallel
+  shard_map with no communication at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..base.sequence import ReadBatch
+from ..base import kmer as kmer_mod
+from ..count import exact, dispatch
+from ..count.exact import SENTINEL64
+from ..sketch import setsketch
+from .mesh import READS_AXIS
+
+U64 = jnp.uint64
+
+
+def _bucketize_by_shard(keys, shard_ids, n_shards: int, cap: int):
+    """Arrange a device's kmers into [n_shards, cap] send buckets (sentinel
+    padded).  Overflowing keys are dropped and counted."""
+    N = keys.shape[0]
+    order = jnp.argsort(shard_ids, stable=True)
+    sk = keys[order]
+    ss = shard_ids[order]
+    # rank within shard = position - first position of that shard
+    shard_counts = jax.ops.segment_sum(
+        jnp.ones_like(ss), ss, num_segments=n_shards)
+    shard_starts = jnp.concatenate(
+        [jnp.zeros(1, shard_counts.dtype), jnp.cumsum(shard_counts)[:-1]])
+    rank = jnp.arange(N) - shard_starts[ss]
+    ok = rank < cap
+    dropped = (~ok & (sk != SENTINEL64)).sum()
+    flat_idx = jnp.where(ok, ss * cap + rank, n_shards * cap)
+    buckets = jnp.full(n_shards * cap + 1, SENTINEL64, U64).at[flat_idx].set(
+        jnp.where(ok, sk, SENTINEL64), mode="drop")
+    return buckets[: n_shards * cap].reshape(n_shards, cap), dropped
+
+
+def sharded_count(batch: ReadBatch, k: int, mesh: Mesh, shard_cap_factor: float = 1.5):
+    """Exact canonical-kmer counting with reads data-parallel and kmer space
+    hash-partitioned across the mesh.
+
+    batch arrays must be sharded (or shardable) on the leading axis.  Returns
+    per-device-sharded (keys [n_dev, C], counts [n_dev, C], dropped [n_dev])
+    where row d holds the distinct kmers whose invhash shard is d.
+    """
+    n_dev = mesh.shape[READS_AXIS]
+    n, Pn = batch.n_reads, max(batch.max_len - k + 1, 1)
+    local_slots = (n // n_dev) * Pn
+    cap = int(local_slots / n_dev * shard_cap_factor) + 64
+
+    def step(words, lengths):
+        local = ReadBatch(words=words, lengths=lengths)
+        can, valid, _ = kmer_mod.canonical_kmers(local, k)
+        keys = jnp.where(valid, can.astype(U64), SENTINEL64).ravel()
+        sid = dispatch.dispatch(
+            jnp.where(keys == SENTINEL64, U64(0), keys), n_dev, k)
+        sid = jnp.where(keys == SENTINEL64, n_dev - 1, sid)
+        buckets, dropped = _bucketize_by_shard(keys, sid, n_dev, cap)
+        # all_to_all: send bucket row j to device j
+        recv = jax.lax.all_to_all(buckets[None], READS_AXIS, split_axis=1,
+                                  concat_axis=1, tiled=False)[0]
+        mine = recv.reshape(-1)  # kmers of my shard from all devices
+        kc = exact.count_from_values(mine)
+        return (kc.keys[None], kc.counts[None], dropped[None],
+                kc.n_distinct[None], kc.n_unique[None])
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(READS_AXIS), P(READS_AXIS)),
+                   out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
+                              P(READS_AXIS), P(READS_AXIS)))
+    return fn(batch.words, batch.lengths)
+
+
+def sharded_setsketch_collection(items, valid, params, mesh: Mesh, seed: int = 0):
+    """One SetSketch for the whole sharded collection: per-device registers
+    merged with pmax over ICI (the TPU form of the reference's block-merge
+    tree, setsketchert.rs:811-895)."""
+
+    def step(it, va):
+        regs = setsketch.setsketch_signatures(it, va, params, seed)
+        merged = jax.lax.pmax(jnp.max(regs, axis=0), READS_AXIS)
+        return merged[None]
+
+    fn = shard_map(step, mesh=mesh, in_specs=(P(READS_AXIS), P(READS_AXIS)),
+                   out_specs=P(READS_AXIS))
+    out = fn(items, valid)
+    return out[0]
+
+
+def sharded_bloom_insert(slots, keys, nb_hash: int, log2_slots: int, mesh: Mesh):
+    """Insert sharded keys into a replicated Bloom slot tensor: local scatter
+    then pmax union (kmercount.rs:810-814's mergeability)."""
+    from ..count import filters
+
+    def step(sl, ks):
+        idx = filters.probe_indices(ks.ravel(), nb_hash, log2_slots)
+        mask = (ks.ravel() != SENTINEL64)[:, None]
+        val = jnp.where(mask, jnp.uint8(1), jnp.uint8(0))
+        idx = jnp.where(mask, idx, 0)
+        sl = sl.at[idx.ravel()].max(val.ravel())
+        return jax.lax.pmax(sl, READS_AXIS)
+
+    fn = shard_map(step, mesh=mesh, in_specs=(P(), P(READS_AXIS)), out_specs=P())
+    return fn(slots, keys)
+
+
+def data_parallel_sketch(sketch_fn, mesh: Mesh):
+    """Wrap a per-batch sketch function (items, valid) -> sigs as a
+    reads-data-parallel shard_map (the rayon par_iter role — zero comms)."""
+
+    def step(items, valid):
+        return sketch_fn(items, valid)
+
+    return shard_map(step, mesh=mesh, in_specs=(P(READS_AXIS), P(READS_AXIS)),
+                     out_specs=P(READS_AXIS))

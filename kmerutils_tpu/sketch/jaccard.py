@@ -1,0 +1,149 @@
+"""High-level sequence sketchers and Jaccard drivers.
+
+Capability twin of the SeqSketcherT trait + pairwise drivers
+(/root/reference/src/sketching/setsketchert.rs:54-80,
+seqsketchjaccard.rs:423-566): one entry point per algorithm, each consuming a
+ReadBatch and producing per-read signatures, plus whole-collection ("seqs")
+variants and one-vs-many Jaccard estimation.
+
+The kmer hash fed to the sketchers mirrors the reference's ``fhash`` closure
+(bin/datasketcher.rs:222-226): invertible Wang hash of the canonical kmer by
+default, or the identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.sequence import ReadBatch
+from ..base import kmer as kmer_mod
+from ..count import exact
+from ..ops.rng import wang_hash32, wang_hash64
+from . import probminhash, superminhash, densminhash, setsketch
+from .params import SeqSketcherParams, SketchAlgo
+from .setsketch import SetSketchParams
+
+U64 = jnp.uint64
+
+
+def hashed_kmers(batch: ReadBatch, k: int, hash_name: str = "wang"):
+    """(items u64[n,P], valid bool[n,P]) — canonical kmers through fhash."""
+    can, valid, _ = kmer_mod.canonical_kmers(batch, k)
+    if hash_name == "wang":
+        if k <= 16:
+            items = wang_hash32(can).astype(U64)
+        else:
+            items = wang_hash64(can)
+    elif hash_name == "identity":
+        items = can.astype(U64)
+    else:
+        raise ValueError(f"unknown kmer hash {hash_name}")
+    return items, valid
+
+
+def hashed_weighted_kmers(batch: ReadBatch, k: int, hash_name: str = "wang"):
+    """items + per-read multiplicities (the weighted histogram the probminhash
+    sketchers consume, setsketchert.rs:128-147)."""
+    items, valid = hashed_kmers(batch, k, hash_name)
+    weights, _ = exact.multiplicity_per_slot(batch, k)
+    return items, weights, valid
+
+
+@dataclasses.dataclass(frozen=True)
+class Sketcher:
+    """Algorithm-dispatched sequence sketcher (the SeqSketcherT role)."""
+
+    params: SeqSketcherParams
+    hash_name: str = "wang"
+    seed: int = 0
+    setsketch_params: SetSketchParams | None = None
+
+    def get_kmer_size(self) -> int:
+        return self.params.kmer_size
+
+    def get_sketch_size(self) -> int:
+        return self.params.sketch_size
+
+    def get_algo(self) -> SketchAlgo:
+        return self.params.algo
+
+    # -- per-read signatures (sketch_compressedkmer) ------------------------
+    def sketch_batch(self, batch: ReadBatch):
+        k, m = self.params.kmer_size, self.params.sketch_size
+        algo = self.params.algo
+        if algo == SketchAlgo.PROB3A:
+            items, weights, _ = hashed_weighted_kmers(batch, k, self.hash_name)
+            sig, _, _ = probminhash.probminhash_signatures(
+                items, weights, m, seed=self.seed)
+            return sig
+        items, valid = hashed_kmers(batch, k, self.hash_name)
+        if algo == SketchAlgo.SUPER:
+            return superminhash.superminhash(items, valid, m, self.seed)[0]
+        if algo == SketchAlgo.SUPER2:
+            return superminhash.superminhash2(items, valid, m, self.seed)[0]
+        if algo == SketchAlgo.OPTDENS:
+            return densminhash.optdens_signatures(items, valid, m, self.seed)[0]
+        if algo == SketchAlgo.REVOPTDENS:
+            return densminhash.revoptdens_signatures(items, valid, m, self.seed)[0]
+        if algo == SketchAlgo.HLL:
+            sp = self.setsketch_params or SetSketchParams(m=m)
+            return setsketch.setsketch_signatures(items, valid, sp, self.seed)
+        raise ValueError(f"unhandled algo {algo}")
+
+    # -- one sketch for a whole collection (sketch_compressedkmer_seqs) -----
+    def sketch_collection(self, batch: ReadBatch):
+        """One signature for all reads together (setsketchert.rs:160-202).
+
+        For HLL this is the mergeable-register path: per-read registers are
+        max-merged — across a device mesh this merge is a jax.lax.pmax.
+        """
+        k, m = self.params.kmer_size, self.params.sketch_size
+        algo = self.params.algo
+        if algo == SketchAlgo.HLL:
+            regs = self.sketch_batch(batch)
+            return jnp.max(regs, axis=0)
+        items, valid = hashed_kmers(batch, k, self.hash_name)
+        flat = items.reshape(1, -1)
+        fvalid = valid.reshape(1, -1)
+        if algo == SketchAlgo.PROB3A:
+            kc = exact.count_from_values(
+                jnp.where(fvalid[0], flat[0], exact.SENTINEL64))
+            weights = jnp.where(kc.keys != exact.SENTINEL64, kc.counts, 0)
+            sig, _, _ = probminhash.probminhash_signatures(
+                kc.keys[None, :], weights[None, :], m, seed=self.seed)
+            return sig[0]
+        if algo == SketchAlgo.SUPER:
+            return superminhash.superminhash(flat, fvalid, m, self.seed)[0][0]
+        if algo == SketchAlgo.SUPER2:
+            return superminhash.superminhash2(flat, fvalid, m, self.seed)[0][0]
+        if algo == SketchAlgo.OPTDENS:
+            return densminhash.optdens_signatures(flat, fvalid, m, self.seed)[0][0]
+        if algo == SketchAlgo.REVOPTDENS:
+            return densminhash.revoptdens_signatures(flat, fvalid, m, self.seed)[0][0]
+        raise ValueError(f"unhandled algo {algo}")
+
+    def jaccard(self, sig_a, sig_b):
+        if self.params.algo == SketchAlgo.HLL:
+            sp = self.setsketch_params or SetSketchParams(m=self.params.sketch_size)
+            return setsketch.jaccard(sig_a, sig_b, sp)
+        return (jnp.asarray(sig_a) == jnp.asarray(sig_b)).mean(axis=-1)
+
+
+def jaccard_one_vs_many(seq_a: ReadBatch, seqs_b: ReadBatch,
+                        params: SeqSketcherParams, hash_name: str = "wang",
+                        seed: int = 0):
+    """Twin of jaccard_index_probminhash3a (seqsketchjaccard.rs:423-495):
+    sketch seq_a (batch of 1), sketch every seq in seqs_b, return the vector
+    of estimated Jaccard indices ordered by rank."""
+    sk = Sketcher(params=params, hash_name=hash_name, seed=seed)
+    sig_a = sk.sketch_batch(seq_a)[0]
+    sig_b = sk.sketch_batch(seqs_b)
+    if params.algo == SketchAlgo.HLL:
+        sp = sk.setsketch_params or SetSketchParams(m=params.sketch_size)
+        return setsketch.jaccard(sig_b, jnp.asarray(sig_a)[None, :], sp)
+    return (jnp.asarray(sig_b) == jnp.asarray(sig_a)[None, :]).mean(axis=-1)

@@ -7,7 +7,9 @@ needed).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the ambient environment pins JAX_PLATFORMS=axon (the real TPU
+# behind a tunnel); tests must run on the local virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 # same graphs; cache them across runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/kmerutils_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax  # noqa: E402
+
+# sitecustomize imports jax at interpreter startup with JAX_PLATFORMS=axon
+# already read; env edits alone are too late — update the live config too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

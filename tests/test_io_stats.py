@@ -1,0 +1,178 @@
+"""I/O, dump-format round-trips, and statistics tests."""
+
+import numpy as np
+import pytest
+
+from kmerutils_tpu.base.sequence import pack_ascii_reads
+from kmerutils_tpu.count import exact
+from kmerutils_tpu.io import fastx, formats
+from kmerutils_tpu import stats
+
+
+def make_reads(rng, n, lo=60, hi=300):
+    return ["".join(rng.choice(list("ACGT"), size=int(L)))
+            for L in rng.integers(lo, hi, size=n)]
+
+
+class TestFastx:
+    def test_fastq_roundtrip(self, rng, tmp_path):
+        reads = make_reads(rng, 20)
+        p = str(tmp_path / "t.fastq")
+        fastx.write_fastq(p, reads)
+        got = [r for _, r, _ in fastx.iter_fastx(p)]
+        assert [g.decode() for g in got] == reads
+
+    def test_fasta_roundtrip(self, rng, tmp_path):
+        reads = make_reads(rng, 10)
+        p = str(tmp_path / "t.fasta")
+        fastx.write_fasta(p, reads)
+        got = [r.decode() for _, r, _ in fastx.iter_fastx(p)]
+        assert got == reads
+
+    def test_non_acgt_reads_dropped(self, tmp_path):
+        p = str(tmp_path / "t.fastq")
+        fastx.write_fastq(p, ["ACGTACGT", "ACGTNCGT", "TTTT"])
+        st = fastx.IngestStats()
+        clean = list(fastx.iter_clean_reads(p, st))
+        assert len(clean) == 2
+        assert st.nb_bad_read == 1
+        assert st.nb_bad_bases == 1
+        assert st.n_bases == 8 + 8 + 4
+
+    def test_batching_preserves_reads(self, rng, tmp_path):
+        reads = make_reads(rng, 57)
+        p = str(tmp_path / "t.fastq")
+        fastx.write_fastq(p, reads)
+        seen = {}
+        for batch, idx in fastx.read_batches(p, batch_reads=16):
+            codes = np.asarray(batch.codes())
+            lens = np.asarray(batch.lengths)
+            for row, i in enumerate(idx):
+                from kmerutils_tpu.base import alphabet
+                s = alphabet.decode_2b(codes[row, : lens[row]]).tobytes().decode()
+                seen[int(i)] = s
+        assert len(seen) == 57
+        assert all(seen[i] == reads[i] for i in range(57))
+
+    def test_gzip(self, rng, tmp_path):
+        import gzip
+        reads = make_reads(rng, 5)
+        p = str(tmp_path / "t.fastq.gz")
+        body = "".join(f"@r{i}\n{r}\n+\n{'I'*len(r)}\n" for i, r in enumerate(reads))
+        with gzip.open(p, "wt") as f:
+            f.write(body)
+        got = [r.decode() for _, r, _ in fastx.iter_fastx(p)]
+        assert got == reads
+
+
+class TestDumpFormats:
+    @pytest.mark.parametrize("k", [11, 16, 21])
+    def test_multiple_kmer_roundtrip(self, rng, tmp_path, k):
+        reads = make_reads(rng, 6, 100, 200) * 2  # duplicates -> counts >= 2
+        batch = pack_ascii_reads(reads)
+        keys, counts, rn, ps, nd = exact.count_batch_detailed(batch, k)
+        nd = int(nd)
+        keys, counts = np.asarray(keys)[:nd], np.asarray(counts)[:nd]
+        rn, ps = np.asarray(rn)[:nd], np.asarray(ps)[:nd]
+        # reference record order: first-occurrence scan order
+        order = np.argsort(rn.astype(np.int64) * (1 << 32) + ps, kind="stable")
+        p = str(tmp_path / "d.multi_kmer.bin")
+        n = formats.write_multiple_kmer_dump(p, k, keys[order], counts[order])
+        k2, reload = formats.read_multiple_kmer_dump(p)
+        assert k2 == k
+        want = {int(kk): int(cc) for kk, cc in zip(keys, counts) if cc >= 2}
+        assert reload == want
+        assert n == len(want)
+
+    def test_multiple_kmer_16bit_counts(self, rng, tmp_path):
+        p = str(tmp_path / "d16.bin")
+        keys = np.array([5, 9], dtype=np.uint64)
+        counts = np.array([300, 2])
+        formats.write_multiple_kmer_dump(p, 16, keys, counts, bytes_per_count=2)
+        _, reload = formats.read_multiple_kmer_dump(p)
+        assert reload == {5: 300, 9: 2}
+
+    def test_unique_kmer_roundtrip(self, rng, tmp_path):
+        reads = make_reads(rng, 4, 100, 150)
+        batch = pack_ascii_reads(reads)
+        k = 16
+        keys, rn, ps, nu = exact.unique_kmer_coords(batch, k)
+        nu = int(nu)
+        keys, rn, ps = (np.asarray(x)[:nu] for x in (keys, rn, ps))
+        order = np.argsort(rn.astype(np.int64) * (1 << 32) + ps, kind="stable")
+        p = str(tmp_path / "d.once_kmer.bin")
+        formats.write_unique_kmer_dump(p, k, keys[order], rn[order], ps[order])
+        k2, kk, rr, pp = formats.read_unique_kmer_dump(p)
+        assert k2 == k
+        assert (kk == keys[order].astype(np.uint32)).all()
+        assert (rr == rn[order]).all() and (pp == ps[order]).all()
+
+    def test_signature_dump_roundtrip(self, rng, tmp_path):
+        sigs = rng.integers(0, 1 << 32, size=(7, 12), dtype=np.uint32)
+        p = str(tmp_path / "sig.bin")
+        formats.write_signature_dump(p, 8, sigs)
+        k, m, back = formats.read_signature_dump(p)
+        assert (k, m) == (8, 12)
+        assert (back == sigs).all()
+
+    def test_signature_dump_header_bytes(self, tmp_path):
+        # byte-level check of the header layout (seqsketchjaccard.rs:382-414)
+        p = str(tmp_path / "sig.bin")
+        formats.write_signature_dump(p, 8, np.zeros((1, 3), np.uint32))
+        hdr = open(p, "rb").read(16)
+        assert hdr == bytes.fromhex("ddeaabce") + (4).to_bytes(4, "little") \
+            + (3).to_bytes(4, "little") + (8).to_bytes(4, "little")
+
+    def test_block_signature_roundtrip(self, rng, tmp_path):
+        per_seq = [(0, [rng.integers(0, 99, 5, dtype=np.uint32) for _ in range(3)]),
+                   (1, [rng.integers(0, 99, 5, dtype=np.uint32)])]
+        p = str(tmp_path / "bsig.bin")
+        formats.write_block_signature_dump(p, 8, 500, per_seq)
+        k, m, bs, back = formats.read_block_signature_dump(p)
+        assert (k, m, bs) == (8, 5, 500)
+        assert len(back) == 2
+        for (ns, blocks), (ns2, blocks2) in zip(per_seq, back):
+            assert ns == ns2
+            for a, b in zip(blocks, blocks2):
+                assert (a == b).all()
+
+
+class TestStats:
+    def test_base_distribution(self, rng):
+        reads = ["AAAA", "ACGT", "GGGGGGGG"]
+        dist = stats.get_base_count([pack_ascii_reads(reads)])
+        m = dist.acgt_distribution
+        # AAAA: A at 100%; ACGT: each base at 25%; GGGG..: G at 100%
+        assert m[100, 0] == 1 and m[100, 2] == 1
+        assert m[25, 0] == 1 and m[25, 1] == 1 and m[25, 2] == 1 and m[25, 3] == 1
+        # 0% rows: base absent entirely
+        assert m[0, 3] == 2  # T absent in AAAA and GGGG…
+        assert dist.n_reads == 3
+        norm = dist.normalized_distribution()
+        assert abs(norm[100, 0] - 1 / 3) < 1e-12
+
+    def test_readlen_histo_dump(self, rng, tmp_path):
+        reads = make_reads(rng, 300, 50, 500)
+        dist = stats.get_base_count([pack_ascii_reads(reads)])
+        f1 = str(tmp_path / "bases.histo")
+        f2 = str(tmp_path / "readlen.histo")
+        dist.ascii_dump_acgt_distribution(f1)
+        dist.ascii_dump_readlen_distribution(f2)
+        assert len(open(f1).read().splitlines()) == 101
+        # the reference's quantile sampler (statutils.rs:150-170) sweeps
+        # thresholds in units of total-entry count against read LENGTHS, so
+        # small files yield few points — we reproduce that behavior
+        lines = open(f2).read().splitlines()
+        assert len(lines) >= 2
+        total = sum(int(l.split()[1]) for l in lines)
+        assert total <= 300
+
+    def test_merge(self, rng):
+        reads = make_reads(rng, 40)
+        d1 = stats.get_base_count([pack_ascii_reads(reads[:20])])
+        d2 = stats.get_base_count([pack_ascii_reads(reads[20:])])
+        d1.merge(d2)
+        dall = stats.get_base_count([pack_ascii_reads(reads)])
+        assert d1.n_reads == dall.n_reads == 40
+        assert np.allclose(d1.acgt_distribution, dall.acgt_distribution)
+        assert (d1.read_lengths == dall.read_lengths).all()

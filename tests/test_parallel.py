@@ -1,0 +1,92 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import collections
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kmerutils_tpu.base.sequence import pack_ascii_reads
+from kmerutils_tpu.base import kmer
+from kmerutils_tpu.count import exact
+from kmerutils_tpu.parallel import mesh as kmesh, collective
+from kmerutils_tpu.sketch.setsketch import SetSketchParams
+from kmerutils_tpu.sketch import setsketch
+
+
+def revcomp_str(s):
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+def oracle_counts(reads, k):
+    c = collections.Counter()
+    for s in reads:
+        for p in range(len(s) - k + 1):
+            sub = s[p : p + k]
+            c[min(kmer.kmer_value_from_str(sub),
+                  kmer.kmer_value_from_str(revcomp_str(sub)))] += 1
+    return c
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return kmesh.make_mesh(8)
+
+
+class TestShardedCount:
+    def test_matches_oracle(self, rng, mesh8):
+        reads = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(16)]
+        reads = reads + reads[:8]  # cross-device duplicate kmers
+        batch = pack_ascii_reads(reads)
+        k = 9
+        keys, counts, dropped, nd, nu = collective.sharded_count(batch, k, mesh8)
+        keys, counts = np.asarray(keys), np.asarray(counts)
+        assert int(np.asarray(dropped).sum()) == 0
+        got = {}
+        for d in range(keys.shape[0]):
+            n = int(np.asarray(nd)[d])
+            for kk, cc in zip(keys[d, :n], counts[d, :n]):
+                assert kk not in got  # shards disjoint
+                got[int(kk)] = int(cc)
+        want = oracle_counts(reads, k)
+        assert got == dict(want)
+
+    def test_shard_ownership(self, rng, mesh8):
+        from kmerutils_tpu.count import dispatch
+        reads = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(8)]
+        batch = pack_ascii_reads(reads)
+        k = 9
+        keys, counts, dropped, nd, nu = collective.sharded_count(batch, k, mesh8)
+        keys = np.asarray(keys)
+        for d in range(8):
+            n = int(np.asarray(nd)[d])
+            if n:
+                sid = np.asarray(dispatch.dispatch(
+                    jnp.asarray(keys[d, :n]), 8, k))
+                assert (sid == d).all()
+
+
+class TestShardedSketch:
+    def test_setsketch_collection_merge(self, rng, mesh8):
+        sp = SetSketchParams(m=256)
+        items = rng.integers(1, 1 << 60, size=(16, 64), dtype=np.uint64)
+        valid = np.ones((16, 64), bool)
+        merged = collective.sharded_setsketch_collection(
+            jnp.asarray(items), jnp.asarray(valid), sp, mesh8)
+        # must equal the single-device sketch of everything
+        all_regs = setsketch.setsketch_signatures(
+            items.reshape(1, -1), valid.reshape(1, -1), sp)[0]
+        assert (np.asarray(merged) == np.asarray(all_regs)).all()
+
+    def test_data_parallel_sketch(self, rng, mesh8):
+        from kmerutils_tpu.sketch import superminhash
+        items = rng.integers(1, 1 << 60, size=(16, 32), dtype=np.uint64)
+        valid = np.ones((16, 32), bool)
+        fn = collective.data_parallel_sketch(
+            lambda it, va: superminhash.superminhash2(it, va, 64)[0], mesh8)
+        sigs = np.asarray(fn(jnp.asarray(items), jnp.asarray(valid)))
+        ref = np.asarray(superminhash.superminhash2(items, valid, 64)[0])
+        assert (sigs == ref).all()
