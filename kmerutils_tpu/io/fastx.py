@@ -80,7 +80,24 @@ def iter_fastx(path: str):
 def iter_clean_reads(path: str, stats: IngestStats | None = None,
                      with_quality: bool = False):
     """Yield 2-bit code arrays for reads that are pure ACGT, dropping the
-    rest — the reference's ingest policy (io.rs:41-48)."""
+    rest — the reference's ingest policy (io.rs:41-48).
+
+    Uses the native C++ parser (native/fastx.cpp) when built; quality
+    streaming falls back to the python parser.
+    """
+    if not with_quality:
+        from . import native
+        if native.available():
+            reader = native.NativeFastxReader(path)
+            for codes, offsets in reader:
+                for i in range(len(offsets) - 1):
+                    yield codes[offsets[i] : offsets[i + 1]]
+            if stats is not None:
+                stats.n_bases += int(reader.stats[0])
+                stats.nb_bad_bases += int(reader.stats[1])
+                stats.nb_bad_read += int(reader.stats[2])
+                stats.n_reads += int(reader.stats[3] - reader.stats[2])
+            return
     for _rid, seq, qual in iter_fastx(path):
         raw = np.frombuffer(seq, dtype=np.uint8)
         codes = alphabet.ENCODE_2B[raw]

@@ -1,0 +1,100 @@
+"""ctypes bindings for the native C++ FASTA/FASTQ parser (native/fastx.cpp).
+
+Builds lazily with make on first use; falls back silently to the pure-python
+parser when the toolchain or zlib is unavailable (callers check
+``available()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libktpnative.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ktp_open.restype = ctypes.c_void_p
+    lib.ktp_open.argtypes = [ctypes.c_char_p]
+    lib.ktp_close.argtypes = [ctypes.c_void_p]
+    lib.ktp_next_block.restype = ctypes.c_long
+    lib.ktp_next_block.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeFastxReader:
+    """Streaming reader yielding (codes uint8 concatenated, offsets int64)."""
+
+    def __init__(self, path: str, block_reads: int = 10000,
+                 block_bases: int = 1 << 26):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native parser unavailable")
+        self._lib = lib
+        self._h = lib.ktp_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(path)
+        self.block_reads = block_reads
+        self.block_bases = block_bases
+        self.stats = np.zeros(4, dtype=np.int64)  # bases, bad_bases, bad_reads, records
+
+    def __iter__(self):
+        codes = np.empty(self.block_bases, dtype=np.uint8)
+        offsets = np.empty(self.block_reads + 1, dtype=np.int64)
+        while True:
+            n = self._lib.ktp_next_block(
+                self._h, codes, codes.size, offsets, self.block_reads,
+                self.stats)
+            if n < 0:
+                raise RuntimeError("native parser error (bad format or "
+                                   "single read larger than block_bases)")
+            if n == 0:
+                break
+            yield codes[: offsets[n]].copy(), offsets[: n + 1].copy()
+        self.close()
+
+    def close(self):
+        if self._h:
+            self._lib.ktp_close(self._h)
+            self._h = None
+
+
+def iter_clean_read_codes(path: str, block_reads: int = 10000):
+    """Yield per-read 2-bit code arrays via the native parser."""
+    r = NativeFastxReader(path, block_reads)
+    for codes, offsets in r:
+        for i in range(len(offsets) - 1):
+            yield codes[offsets[i] : offsets[i + 1]]

@@ -1,0 +1,209 @@
+// Native FASTA/FASTQ parser + 2-bit encoder feeding the device input
+// pipeline.  Fills the role of the reference's needletail-based ingest
+// (/root/reference/src/io.rs:12-72) as compiled host code: scans records,
+// drops reads containing any non-ACGT base (io.rs:41-48 policy), 2-bit
+// encodes survivors (A=0 C=1 G=2 T=3, alphabet.rs:119-127), and reports the
+// same counters (n_bases, bad_bases, bad_reads).
+//
+// C ABI for ctypes:
+//   void* ktp_open(const char* path)        — NULL on failure (gz supported)
+//   long  ktp_next_block(h, codes_buf, cap, offsets, max_reads, stats[4])
+//         — fills codes_buf with concatenated 2-bit codes (one byte per
+//           base), offsets[0..n] with read boundaries; returns n_reads
+//           (0 = EOF, -1 = error / buffer too small for one read).
+//           stats accumulates {n_bases, bad_bases, bad_reads, n_records}.
+//   void  ktp_close(h)
+//
+// Build: make -C native  (g++ -O3 -shared; zlib for .gz)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <zlib.h>
+
+namespace {
+
+constexpr size_t CHUNK = 1 << 20;
+
+struct Parser {
+    gzFile gz = nullptr;           // zlib handles plain files transparently
+    char *buf = nullptr;           // carry buffer for partial lines
+    size_t buf_len = 0, buf_cap = 0;
+    size_t pos = 0;                // scan position in buf
+    size_t last_consumed = 0;      // bytes consumed by the last next_line
+    bool eof = false;
+    bool fastq = false;
+    bool format_known = false;
+
+    bool fill() {
+        if (eof) return buf_len > pos;
+        if (pos > 0) {  // compact consumed prefix
+            memmove(buf, buf + pos, buf_len - pos);
+            buf_len -= pos;
+            pos = 0;
+        }
+        if (buf_cap - buf_len < CHUNK) {
+            buf_cap = buf_cap ? buf_cap * 2 : (CHUNK * 2);
+            buf = static_cast<char *>(realloc(buf, buf_cap));
+        }
+        int n = gzread(gz, buf + buf_len, static_cast<unsigned>(CHUNK));
+        if (n <= 0) { eof = true; return buf_len > pos; }
+        buf_len += static_cast<size_t>(n);
+        return true;
+    }
+
+    // returns pointer to next line (in buf) and its length, or nullptr at EOF.
+    // The line stays valid until the next fill(); callers consume immediately.
+    char *next_line(size_t *len) {
+        for (;;) {
+            char *nl = static_cast<char *>(
+                memchr(buf + pos, '\n', buf_len - pos));
+            if (nl) {
+                *len = static_cast<size_t>(nl - (buf + pos));
+                char *line = buf + pos;
+                last_consumed = *len + 1;
+                pos += *len + 1;
+                if (*len && line[*len - 1] == '\r') --*len;
+                return line;
+            }
+            if (eof) {
+                if (buf_len > pos) {  // last line without newline
+                    *len = buf_len - pos;
+                    char *line = buf + pos;
+                    last_consumed = *len;
+                    pos = buf_len;
+                    return line;
+                }
+                return nullptr;
+            }
+            if (!fill()) {
+                continue;  // loop re-checks eof
+            }
+        }
+    }
+};
+
+// ASCII -> 2-bit code, 0xFF invalid (upper+lower case)
+const uint8_t *encode_table() {
+    static uint8_t t[256];
+    static bool init = false;
+    if (!init) {
+        memset(t, 0xFF, sizeof(t));
+        t['A'] = t['a'] = 0; t['C'] = t['c'] = 1;
+        t['G'] = t['g'] = 2; t['T'] = t['t'] = 3;
+        init = true;
+    }
+    return t;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *ktp_open(const char *path) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    gzbuffer(f, 1 << 20);
+    Parser *p = new Parser();
+    p->gz = f;
+    return p;
+}
+
+void ktp_close(void *h) {
+    Parser *p = static_cast<Parser *>(h);
+    if (!p) return;
+    gzclose(p->gz);
+    free(p->buf);
+    delete p;
+}
+
+long ktp_next_block(void *h, uint8_t *codes_buf, long cap,
+                    int64_t *offsets, long max_reads, int64_t *stats) {
+    Parser *p = static_cast<Parser *>(h);
+    const uint8_t *enc = encode_table();
+    long n_reads = 0;
+    int64_t used = 0;
+    offsets[0] = 0;
+
+    while (n_reads < max_reads) {
+        size_t len;
+        char *line = p->next_line(&len);
+        if (!line) break;
+        if (len == 0) continue;
+
+        if (!p->format_known) {
+            if (line[0] == '@') p->fastq = true;
+            else if (line[0] == '>') p->fastq = false;
+            else return -1;
+            p->format_known = true;
+        }
+
+        if (p->fastq) {
+            if (line[0] != '@') return -1;
+            size_t slen;
+            char *seq = p->next_line(&slen);
+            if (!seq) break;
+            // encode immediately: seq points into the carry buffer and the
+            // two next_line calls below may trigger a refill
+            if (used + static_cast<int64_t>(slen) > cap) return -1;
+            int64_t bad = 0;
+            for (size_t i = 0; i < slen; ++i) {
+                uint8_t c = enc[static_cast<uint8_t>(seq[i])];
+                bad += (c == 0xFF);
+                codes_buf[used + static_cast<int64_t>(i)] = c;
+            }
+            size_t l2, l3;
+            p->next_line(&l2);          // '+'
+            p->next_line(&l3);          // quality (skipped)
+            stats[0] += static_cast<int64_t>(slen);
+            stats[3] += 1;
+            if (bad) {
+                stats[1] += bad;
+                stats[2] += 1;
+                continue;               // drop whole read
+            }
+            used += static_cast<int64_t>(slen);
+            offsets[++n_reads] = used;
+        } else {
+            if (line[0] != '>') return -1;
+            // multi-line FASTA: accumulate until next '>' or EOF
+            int64_t start = used;
+            int64_t bad = 0;
+            for (;;) {
+                // peek: if next line starts with '>' push it back
+                size_t save_pos = p->pos;
+                size_t slen;
+                char *seq = p->next_line(&slen);
+                if (!seq) break;
+                if (slen && seq[0] == '>') {
+                    // push the header line back for the outer loop; pos and
+                    // last_consumed are consistent with the *current* buffer
+                    // state even if next_line compacted/refilled.
+                    p->pos -= p->last_consumed;
+                    break;
+                }
+                (void)save_pos;
+                if (used + static_cast<int64_t>(slen) > cap) return -1;
+                for (size_t i = 0; i < slen; ++i) {
+                    uint8_t c = enc[static_cast<uint8_t>(seq[i])];
+                    bad += (c == 0xFF);
+                    codes_buf[used++] = c;
+                }
+            }
+            int64_t slen = used - start;
+            stats[0] += slen;
+            stats[3] += 1;
+            if (bad) {
+                stats[1] += bad;
+                stats[2] += 1;
+                used = start;           // drop whole read
+                continue;
+            }
+            if (slen > 0) offsets[++n_reads] = used;
+        }
+    }
+    return n_reads;
+}
+
+}  // extern "C"

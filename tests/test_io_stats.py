@@ -176,3 +176,41 @@ class TestStats:
         assert d1.n_reads == dall.n_reads == 40
         assert np.allclose(d1.acgt_distribution, dall.acgt_distribution)
         assert (d1.read_lengths == dall.read_lengths).all()
+
+
+class TestNativeParser:
+    def test_native_matches_python(self, rng, tmp_path):
+        from kmerutils_tpu.io import native
+        if not native.available():
+            pytest.skip("native parser not built")
+        reads = make_reads(rng, 40) + ["ACGTNN"]  # last one dropped
+        p = str(tmp_path / "n.fastq")
+        fastx.write_fastq(p, reads)
+        got = [c.tobytes() for c in native.iter_clean_read_codes(p)]
+        from kmerutils_tpu.base import alphabet
+        want = [alphabet.encode_2b(np.frombuffer(r.encode(), np.uint8)).tobytes()
+                for r in reads[:-1]]
+        assert got == want
+
+    def test_native_multiline_fasta(self, tmp_path):
+        from kmerutils_tpu.io import native
+        if not native.available():
+            pytest.skip("native parser not built")
+        p = str(tmp_path / "m.fasta")
+        with open(p, "w") as f:
+            f.write(">r0\nACGT\nACGT\nTT\n>r1\nGGGG\n")
+        got = [c.tobytes() for c in native.iter_clean_read_codes(p)]
+        from kmerutils_tpu.base import alphabet
+        assert got[0] == alphabet.encode_2b(
+            np.frombuffer(b"ACGTACGTTT", np.uint8)).tobytes()
+        assert len(got) == 2
+
+    def test_native_stats(self, rng, tmp_path):
+        from kmerutils_tpu.io import native
+        if not native.available():
+            pytest.skip("native parser not built")
+        p = str(tmp_path / "s.fastq")
+        fastx.write_fastq(p, ["ACGT", "ACNT", "GGGG"])
+        r = native.NativeFastxReader(p)
+        list(r)
+        assert r.stats.tolist() == [12, 1, 1, 3]
