@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from . import alphabet
-from ..count.exact import multiplicity_from_values
 from ..ops.rng import wang_hash32, wang_hash64
 from ..sketch import probminhash, superminhash, densminhash, setsketch
 from ..sketch.params import SeqSketcherParams, SketchAlgo
@@ -124,7 +123,7 @@ def hashed_kmers_aa(batch: AABatch, k: int, hash_name: str = "wang"):
     km, valid = kmers_aa(batch, k)
     if hash_name == "wang":
         if k <= 6:
-            items = wang_hash32(km.astype(jnp.uint32)).astype(U64)
+            items = wang_hash32(km.astype(jnp.uint32))
         else:
             items = wang_hash64(km)
     elif hash_name == "identity":
@@ -148,9 +147,9 @@ class SketcherAA:
         algo = self.params.algo
         items, valid = hashed_kmers_aa(batch, k, self.hash_name)
         if algo == SketchAlgo.PROB3A:
-            weights = multiplicity_from_values(items, valid)
-            return probminhash.probminhash_signatures(
-                items, weights, m, seed=self.seed)[0]
+            return probminhash.probminhash_from_items(
+                items, valid, m, heavy_cap=min(256, items.shape[1]),
+                seed=self.seed)[0]
         if algo == SketchAlgo.SUPER:
             return superminhash.superminhash(items, valid, m, self.seed)[0]
         if algo == SketchAlgo.SUPER2:

@@ -20,7 +20,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..base.sequence import ReadBatch
-from ..count.exact import multiplicity_from_values
 from . import probminhash
 from .jaccard import hashed_kmers
 
@@ -49,8 +48,8 @@ def block_sketch(batch: ReadBatch, k: int, m: int, block_size: int,
     valid = jnp.pad(valid, ((0, 0), (0, pad)))
     items = items.reshape(n * nb, block_size)
     valid = valid.reshape(n * nb, block_size)
-    weights = multiplicity_from_values(items, valid)
-    sig, empty, _ = probminhash.probminhash_signatures(items, weights, m, seed=seed)
+    sig, empty, _ = probminhash.probminhash_from_items(
+        items, valid, m, heavy_cap=min(256, block_size), seed=seed)
     return BlockSketchResult(
         sigs=np.asarray(sig).reshape(n, nb, m),
         live=~np.asarray(empty).reshape(n, nb),

@@ -35,12 +35,11 @@ def hashed_kmers(batch: ReadBatch, k: int, hash_name: str = "wang"):
     """(items u64[n,P], valid bool[n,P]) — canonical kmers through fhash."""
     can, valid, _ = kmer_mod.canonical_kmers(batch, k)
     if hash_name == "wang":
-        if k <= 16:
-            items = wang_hash32(can).astype(U64)
-        else:
-            items = wang_hash64(can)
+        # u32 items for k <= 16 (Kmer::Val = u32 in the reference) keep the
+        # whole sketch path in native 32-bit lanes
+        items = wang_hash32(can) if k <= 16 else wang_hash64(can)
     elif hash_name == "identity":
-        items = can.astype(U64)
+        items = can
     else:
         raise ValueError(f"unknown kmer hash {hash_name}")
     return items, valid
@@ -62,6 +61,7 @@ class Sketcher:
     hash_name: str = "wang"
     seed: int = 0
     setsketch_params: SetSketchParams | None = None
+    heavy_cap: int = 2048  # ProbMinHash repeated-kmer buffer per read
 
     def get_kmer_size(self) -> int:
         return self.params.kmer_size
@@ -77,9 +77,10 @@ class Sketcher:
         k, m = self.params.kmer_size, self.params.sketch_size
         algo = self.params.algo
         if algo == SketchAlgo.PROB3A:
-            items, weights, _ = hashed_weighted_kmers(batch, k, self.hash_name)
-            sig, _, _ = probminhash.probminhash_signatures(
-                items, weights, m, seed=self.seed)
+            items, valid = hashed_kmers(batch, k, self.hash_name)
+            sig, _, _ = probminhash.probminhash_from_items(
+                items, valid, m, heavy_cap=min(self.heavy_cap, items.shape[1]),
+                seed=self.seed)
             return sig
         items, valid = hashed_kmers(batch, k, self.hash_name)
         if algo == SketchAlgo.SUPER:
@@ -112,7 +113,7 @@ class Sketcher:
         fvalid = valid.reshape(1, -1)
         if algo == SketchAlgo.PROB3A:
             kc = exact.count_from_values(
-                jnp.where(fvalid[0], flat[0], exact.SENTINEL64))
+                jnp.where(fvalid[0], flat[0].astype(U64), exact.SENTINEL64))
             weights = jnp.where(kc.keys != exact.SENTINEL64, kc.counts, 0)
             sig, _, _ = probminhash.probminhash_signatures(
                 kc.keys[None, :], weights[None, :], m, seed=self.seed)
@@ -132,6 +133,37 @@ class Sketcher:
             sp = self.setsketch_params or SetSketchParams(m=self.params.sketch_size)
             return setsketch.jaccard(sig_a, sig_b, sp)
         return (jnp.asarray(sig_a) == jnp.asarray(sig_b)).mean(axis=-1)
+
+
+def probminhash_get_jaccard_objects(sig_a, sig_b):
+    """(jaccard, common objects or None) from two ProbMinHash signatures —
+    twin of seqsketchjaccard.rs:86-108."""
+    a = np.asarray(sig_a)
+    b = np.asarray(sig_b)
+    eq = a == b
+    jp = float(eq.mean())
+    if jp > 0:
+        return jp, a[eq].tolist()
+    return 0.0, None
+
+
+def compute_probminhash3a_jaccard(weighted_a: dict, weighted_b: dict,
+                                  sketch_size: int, return_object: bool = False,
+                                  seed: int = 0):
+    """Weighted-set Probability-Jaccard from two {item: weight} mappings —
+    twin of compute_probminhash3a_jaccard (seqsketchjaccard.rs:58-83)."""
+    def sig_of(d):
+        items = np.fromiter(d.keys(), dtype=np.uint64,
+                            count=len(d))[None, :]
+        w = np.fromiter(d.values(), dtype=np.int64, count=len(d))[None, :]
+        s, _, _ = probminhash.probminhash_signatures(
+            items, w.astype(np.int32), sketch_size, seed=seed)
+        return np.asarray(s)[0]
+
+    sa, sb = sig_of(weighted_a), sig_of(weighted_b)
+    if not return_object:
+        return float((sa == sb).mean()), None
+    return probminhash_get_jaccard_objects(sa, sb)
 
 
 def jaccard_one_vs_many(seq_a: ReadBatch, seqs_b: ReadBatch,
