@@ -9,20 +9,27 @@ s receives  argmin_x  E_s(x)  with  E_s(x) ~ Exp(weight(x))  drawn as a pure
 function of (item x, slot s).  Any implementation of that sampler satisfies
 P(sig_s^A == sig_s^B) = J_P(A, B) — the Probability Jaccard.
 
-TPU-native two-phase design (instead of the crate's heap + xoshiro streams):
+TPU-native single-phase design (instead of the crate's heap + xoshiro
+streams): every position p carries its item's multiplicity w_p (identical for
+duplicate occurrences, so duplicates are harmless — they contribute the same
+draw).  Slot s's winner is
 
-* light phase — Exp(1) = -ln(U) is monotone in U, so the per-slot argmin over
-  weight-1 items is an integer argmax over a 32-bit hash H(x, s): pure VPU
-  u32 ops, no transcendentals, ~12 ops per (position, slot) pair.  Items with
-  weight >= 2 may safely participate too: with the SAME uniform U, their true
-  draw E/w is <= their weight-1 draw E, so if such an item wins the light
-  tournament the heavy phase (strictly smaller E) reclaims it — the merged
-  argmin is exactly the defining sampler's.  Hence the light phase needs no
-  masking at all, and duplicate occurrences (identical H) are harmless.
-* heavy phase — the few distinct items with weight >= 2:
-  E = -ln(U(x,s)) / w in f32 over a small compacted buffer, min-reduced and
-  merged with the light winner by E value (U from the same 32-bit hash, so
-  the two phases are consistent).
+    argmin_p  E(p, s) = -ln(U(item_p, s)) / w_p
+
+computed as ONE fused max-reduction over a packed 64-bit key per (p, s):
+
+    key = (~bits(E) as u64) << 32 | tiebreak
+
+where bits(E) is the IEEE-754 pattern of the f32 exponential draw (monotone
+for positive floats, so ~bits orders by decreasing E) and tiebreak is the
+folded item value (u32 items; ties resolved by item identity keep the sampler
+a pure function of the item multiset) or the position index (u64 items; a
+final cheap gather recovers the item).  XLA fuses hash + draw + pack into the
+max-reduce so the [n, P, m] intermediate never touches HBM.
+
+Multiplicities come from one sort per read plus two associative scans (run
+start via cummax, next-run start via reverse cummin) — no segment-sum, no
+scatter, no heavy-item compaction.
 
 Signatures hold *item values* (the hashed kmer, Kmer::Val in the reference),
 so downstream Jaccard estimation is slot-equality counting, identical in
@@ -42,6 +49,7 @@ from ..ops.rng import splitmix64
 U32 = jnp.uint32
 U64 = jnp.uint64
 F32 = jnp.float32
+I32 = jnp.int32
 
 SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -76,49 +84,36 @@ def _neg_log_u24(h_u32):
     return -jnp.log(u)
 
 
-def _compact_heavy(items, weights, heavy_mask, cap: int):
-    """Scatter positions with heavy_mask to the front of a [n, cap] buffer
-    (cumsum ranks — no sort).  Returns (items, weights, mask, overflow)."""
-    n, P = items.shape
-    rank = jnp.cumsum(heavy_mask.astype(jnp.int32), axis=1) - 1
-    ok = heavy_mask & (rank < cap)
-    idx = jnp.where(ok, rank, cap)
-    row = jnp.arange(n, dtype=jnp.int32)[:, None]
-    buf_i = jnp.zeros((n, cap + 1), items.dtype).at[row, idx].set(
-        jnp.where(ok, items, 0), mode="drop")[:, :cap]
-    buf_w = jnp.zeros((n, cap + 1), jnp.int32).at[row, idx].set(
-        jnp.where(ok, weights, 0), mode="drop")[:, :cap]
-    n_heavy = heavy_mask.sum(axis=1)
-    mask = jnp.arange(cap)[None, :] < jnp.minimum(n_heavy, cap)[:, None]
-    return buf_i, buf_w, mask, n_heavy > cap
+def _tournament(items, winv, valid, m: int, seed: int):
+    """Fused weighted argmin-of-exponentials over positions, per slot.
 
-
-def _merge_phases(items, valid, h_items, h_w, h_mask, m, seed):
-    """Light tournament over all valid items + heavy E pass + merge."""
+    items [n, P] u32/u64, winv f32 [n, P] (1/multiplicity), valid bool [n, P].
+    Returns (sig [n, m] same dtype as items, empty bool [n]).
+    """
+    items = jnp.asarray(items)
+    wide = items.dtype == jnp.uint64
     slotc = _slot_consts(m, seed)
     it32 = _fold32(items)
 
-    # light: per-slot argmax of H over positions (weight-1 optimum; heavy
-    # items participating is safe — see module docstring)
-    H = jnp.where(valid[..., None], _hash32(it32, slotc), U32(0))
-    light_idx = jnp.argmax(H, axis=1)                       # [n, m]
-    light_item = jnp.take_along_axis(jnp.asarray(items), light_idx, axis=1)
-    light_best = jnp.take_along_axis(H, light_idx[:, None, :], axis=1)[:, 0, :]
-    any_valid = valid.any(axis=1)
-    light_E = jnp.where(any_valid[:, None], _neg_log_u24(light_best), jnp.inf)
+    H = _hash32(it32, slotc)                                   # [n, P, m]
+    E = _neg_log_u24(H) * winv[..., None].astype(F32)
+    ebits = ~jax.lax.bitcast_convert_type(E, U32)              # max ~bits == min E
+    if wide:
+        n, P = items.shape
+        payload = jnp.arange(P, dtype=U32)[None, :, None]      # position idx
+    else:
+        payload = it32[..., None]
+    key = (ebits.astype(U64) << U64(32)) | payload.astype(U64)
+    key = jnp.where(valid[..., None], key, U64(0))             # losers
+    best = jnp.max(key, axis=1)                                # [n, m]
 
-    # heavy: exponentials over the compacted distinct heavy items
-    Hh = _hash32(_fold32(h_items), slotc)                   # [n, cap, m]
-    Eh = _neg_log_u24(Hh) / jnp.maximum(h_w, 1)[..., None].astype(F32)
-    Eh = jnp.where(h_mask[..., None], Eh, jnp.inf)
-    heavy_idx = jnp.argmin(Eh, axis=1)
-    heavy_item = jnp.take_along_axis(jnp.asarray(h_items), heavy_idx, axis=1)
-    heavy_E = jnp.take_along_axis(Eh, heavy_idx[:, None, :], axis=1)[:, 0, :]
-
-    use_heavy = heavy_E < light_E
-    sig = jnp.where(use_heavy, heavy_item.astype(U64), light_item.astype(U64))
-    empty = ~any_valid
-    return jnp.where(empty[:, None], U64(0), sig), empty
+    if wide:
+        idx = (best & U64(0xFFFFFFFF)).astype(I32)
+        sig = jnp.take_along_axis(items, idx, axis=1)
+    else:
+        sig = (best & U64(0xFFFFFFFF)).astype(U32)
+    empty = ~valid.any(axis=1)
+    return jnp.where(empty[:, None], jnp.zeros((), items.dtype), sig), empty
 
 
 @functools.partial(jax.jit, static_argnames=("m", "heavy_cap", "seed"))
@@ -131,57 +126,59 @@ def probminhash_signatures(items, weights, m: int, heavy_cap: int = 0,
     weights: int32[n, P] — multiplicity of the item within its read; 0 marks
              invalid/padding.  Duplicate occurrences may all carry the weight.
     m:       sketch size.
-    heavy_cap: static buffer for weight>=2 positions (0 = P, always exact).
-             On overflow the surplus heavy items degrade to weight 1
-             (overflow flag returned).
+    heavy_cap: ignored (kept for API compatibility) — the single-phase
+             tournament is always exact, there is no heavy-item buffer.
 
-    Returns (sig uint64[n, m], empty bool[n], overflow bool[n]).
+    Returns (sig [n, m] (items dtype), empty bool[n], overflow bool[n]
+    — always False).
     """
+    del heavy_cap
     items = jnp.asarray(items)
-    weights = jnp.asarray(weights, jnp.int32)
-    n, P = items.shape
-    if heavy_cap <= 0 or heavy_cap > P:
-        heavy_cap = P
+    weights = jnp.asarray(weights, I32)
     valid = weights > 0
-    heavy = weights >= 2
-    h_items, h_w, h_mask, overflow = _compact_heavy(items, weights, heavy,
-                                                    heavy_cap)
-    sig, empty = _merge_phases(items, valid, h_items, h_w, h_mask, m, seed)
-    return sig, empty, overflow
+    winv = F32(1.0) / jnp.maximum(weights, 1).astype(F32)
+    sig, empty = _tournament(items, winv, valid, m, seed)
+    return sig, empty, jnp.zeros(items.shape[0], bool)
+
+
+def _run_multiplicities(sorted_items, is_real):
+    """Per-position run length of sorted rows via two associative scans."""
+    n, P = sorted_items.shape
+    new_run = jnp.concatenate(
+        [jnp.ones((n, 1), bool),
+         sorted_items[:, 1:] != sorted_items[:, :-1]], axis=1) & is_real
+    idx = jnp.broadcast_to(jnp.arange(P, dtype=I32)[None, :], (n, P))
+    start = jax.lax.cummax(jnp.where(new_run, idx, I32(-1)), axis=1)
+    # sentinels terminate the preceding run: they count as boundaries too,
+    # else the last real run would absorb the padding into its length
+    nxt = jnp.where(new_run | ~is_real, idx, I32(P))
+    rev_min = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]    # min over q >= p
+    next_start = jnp.concatenate(
+        [rev_min[:, 1:], jnp.full((n, 1), P, I32)], axis=1)    # min over q > p
+    return next_start - start
 
 
 @functools.partial(jax.jit, static_argnames=("m", "heavy_cap", "seed"))
-def probminhash_from_items(items, valid, m: int, heavy_cap: int = 256,
+def probminhash_from_items(items, valid, m: int, heavy_cap: int = 0,
                            seed: int = 0):
     """Fused fast path: multiplicities derived internally by one sort.
 
     items [n, P] (u32 or u64) with a valid mask; weights are the within-row
     multiplicities (the reference's per-read FnvHashMap histogram,
-    setsketchert.rs:128-147).  One sort of the item row finds the distinct
-    heavy items (run starts with run length >= 2) — the light tournament runs
-    on the raw array, so no inverse permutation is ever needed.
+    setsketchert.rs:128-147).  One sort groups duplicates; run lengths fall
+    out of two scans; the tournament runs on the sorted rows (same multiset,
+    same signature).  ``heavy_cap`` is ignored (exact for any multiplicity).
     """
+    del heavy_cap
     items = jnp.asarray(items)
-    n, P = items.shape
     wide = items.dtype == jnp.uint64
     sent = SENTINEL64 if wide else np.uint32(0xFFFFFFFF)
-    keyed = jnp.where(valid, items, sent)
-    s = jnp.sort(keyed, axis=1)
+    s = jnp.sort(jnp.where(valid, items, sent), axis=1)
     is_real = s != sent
-    new_run = jnp.concatenate(
-        [jnp.ones((n, 1), bool), s[:, 1:] != s[:, :-1]], axis=1) & is_real
-    # run length via segment-sum over flattened rows
-    seg = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1
-    row_off = jnp.arange(n, dtype=jnp.int32)[:, None] * P
-    flat_seg = jnp.where(is_real, seg + row_off, n * P - 1).ravel()
-    counts = jax.ops.segment_sum(is_real.ravel().astype(jnp.int32), flat_seg,
-                                 num_segments=n * P).reshape(n, P)
-    run_count = jnp.take_along_axis(counts, seg, axis=1)
-    heavy_start = new_run & (run_count >= 2)   # distinct heavy items only
-    h_items, h_w, h_mask, overflow = _compact_heavy(
-        s, run_count, heavy_start, heavy_cap)
-    sig, empty = _merge_phases(items, valid, h_items, h_w, h_mask, m, seed)
-    return sig, empty, overflow
+    w = _run_multiplicities(s, is_real)
+    winv = F32(1.0) / jnp.maximum(w, 1).astype(F32)
+    sig, empty = _tournament(s, winv, is_real, m, seed)
+    return sig, empty, jnp.zeros(items.shape[0], bool)
 
 
 def probjaccard_pair(sig_a, sig_b):

@@ -92,6 +92,26 @@ class TestProbMinHash:
             np.zeros((1, 4), np.uint64), np.zeros((1, 4), np.int32), 16)
         assert bool(np.asarray(empty)[0])
 
+    def test_from_items_matches_explicit_weights(self, rng):
+        # probminhash_from_items derives multiplicities internally (sort +
+        # run-length scans); must agree with explicit-weight signatures —
+        # including when rows end in padding (regression: sentinel padding
+        # must not inflate the last run's multiplicity)
+        import jax.numpy as jnp
+        P = 37
+        items = rng.integers(0, 8, size=(4, P)).astype(np.uint64)  # many dups
+        lengths = np.array([P, P - 13, 5, 1])
+        valid = np.arange(P)[None, :] < lengths[:, None]
+        s1 = probminhash.probminhash_from_items(items, valid, 128)[0]
+        w = np.zeros((4, P), np.int32)
+        for r in range(4):
+            vals, counts = np.unique(items[r, : lengths[r]], return_counts=True)
+            lut = dict(zip(vals.tolist(), counts.tolist()))
+            for p in range(lengths[r]):
+                w[r, p] = lut[int(items[r, p])]
+        s2 = probminhash.probminhash_signatures(items, w, 128)[0]
+        assert (np.asarray(s1) == np.asarray(s2)).all()
+
     def test_heavy_cap_consistency(self, rng):
         # same multiset sketched with different caps (no overflow) is identical
         items = rng.integers(1, 1 << 60, size=(2, 64), dtype=np.uint64)
