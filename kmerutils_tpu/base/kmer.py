@@ -35,16 +35,6 @@ U32 = jnp.uint32
 U64 = jnp.uint64
 
 
-def _window_constants(max_len: int, n_words: int):
-    """Static per-position gather indices / shifts for positions 0..max_len-1."""
-    p = np.arange(max_len)
-    wi = p >> 4
-    sh = 2 * (p & 15)
-    # clamp: the +1 slack word guarantees wi+1 < n_words; wi+2 may need a clamp
-    wi2 = np.minimum(wi + 2, n_words - 1)
-    return wi, wi + 1, wi2, sh
-
-
 def kmers_u32(batch: ReadBatch, k: int):
     """All k-mers (k <= 16) of every read.
 
@@ -52,38 +42,46 @@ def kmers_u32(batch: ReadBatch, k: int):
       kmers: uint32[n_reads, P] — value of k-mer starting at each position,
       valid: bool[n_reads, P]   — position p valid iff p + k <= length.
     P = max_len - k + 1 positions per read (static).
+
+    Gather-free: word i covers the 16 start positions 16i..16i+15, whose
+    32-bit windows are (w[i] << 2j) | (w[i+1] >> (32-2j)) for j = 0..15 — a
+    [n, n_words-1, 16] broadcast of shifts (the shift amount is a trace-time
+    constant per lane), reshaped to the position axis.  No gathers, pure VPU.
     """
     if not 1 <= k <= 16:
         raise ValueError("kmers_u32 requires 1 <= k <= 16")
     w = batch.words
-    n_words = w.shape[1]
     P = max(batch.max_len - k + 1, 1)
-    wi0, wi1, _, sh = _window_constants(P, n_words)
-    w0 = w[:, wi0]
-    w1 = w[:, wi1]
-    sh = jnp.asarray(sh, U32)[None, :]
-    lo = jnp.where(sh == 0, U32(0), w1 >> ((U32(32) - sh) % U32(32)))
-    win = (w0 << sh) | lo
-    kmers = win >> U32(32 - 2 * k)
+    w0 = w[:, :-1, None]                                 # [n, W-1, 1]
+    w1 = w[:, 1:, None]
+    j2 = jnp.asarray(2 * np.arange(BASES_PER_WORD), U32)[None, None, :]
+    lo = jnp.where(j2 == 0, U32(0), w1 >> ((U32(32) - j2) % U32(32)))
+    win = ((w0 << j2) | lo).reshape(w.shape[0], -1)      # [n, (W-1)*16]
+    kmers = win[:, :P] >> U32(32 - 2 * k)
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos + k <= batch.lengths[:, None]
     return kmers, valid
 
 
 def kmers_u64(batch: ReadBatch, k: int):
-    """All k-mers (17 <= k <= 32, also fine for smaller k) as uint64."""
+    """All k-mers (17 <= k <= 32, also fine for smaller k) as uint64.
+
+    Same gather-free scheme as :func:`kmers_u32` on a 64-bit window built
+    from three consecutive words.
+    """
     if not 1 <= k <= 32:
         raise ValueError("kmers_u64 requires 1 <= k <= 32")
     w = batch.words
-    n_words = w.shape[1]
+    n, W = w.shape
     P = max(batch.max_len - k + 1, 1)
-    wi0, wi1, wi2, sh = _window_constants(P, n_words)
-    d = (w[:, wi0].astype(U64) << U64(32)) | w[:, wi1].astype(U64)
-    w2 = w[:, wi2].astype(U64)
-    sh = jnp.asarray(sh, U64)[None, :]
-    lo = jnp.where(sh == 0, U64(0), w2 >> ((U64(32) - sh)))
-    win = (d << sh) | lo
-    kmers = win >> U64(64 - 2 * k)
+    # third word: shift the slack-padded array left by 2 (zero fill)
+    w2_src = jnp.pad(w[:, 2:], ((0, 0), (0, 2)))
+    d = (w[:, :-1, None].astype(U64) << U64(32)) | w[:, 1:, None].astype(U64)
+    w2 = w2_src[:, :-1, None].astype(U64)
+    j2 = jnp.asarray(2 * np.arange(BASES_PER_WORD), np.uint64)[None, None, :]
+    lo = jnp.where(j2 == 0, U64(0), w2 >> ((U64(32) - j2) % U64(64)))
+    win = ((d << j2) | lo).reshape(n, -1)
+    kmers = win[:, :P] >> U64(64 - 2 * k)
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos + k <= batch.lengths[:, None]
     return kmers, valid

@@ -89,6 +89,12 @@ def _tournament(items, winv, valid, m: int, seed: int):
 
     items [n, P] u32/u64, winv f32 [n, P] (1/multiplicity), valid bool [n, P].
     Returns (sig [n, m] same dtype as items, empty bool [n]).
+
+    One fused max-reduction over a packed 64-bit key per (position, slot):
+    high 32 bits order by the exponential draw (~bits(E) — IEEE f32 patterns
+    of positive floats are monotone), low 32 bits carry the item (tie-break
+    by item value keeps the sampler a pure function of the weighted item
+    set) or the position index for u64 items (recovered by one gather).
     """
     items = jnp.asarray(items)
     wide = items.dtype == jnp.uint64
