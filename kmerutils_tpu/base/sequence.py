@@ -129,6 +129,62 @@ class Sequence:
         return Sequence(alphabet.decode_4b(rc), 4)
 
 
+class IterSequence:
+    """Forward + double-ended base iterator over a packed :class:`Sequence`,
+    with range restriction — twin of the reference's IterSequence
+    (/root/reference/src/base/sequence.rs:499-722): ``set_range(begin, end)``
+    (:562-585), forward ``next`` (:605-649), backward ``next_back``
+    (:667-722).  ``decode=True`` yields ASCII bases instead of codes
+    (:588-591).
+    """
+
+    __slots__ = ("_codes", "_decode", "_front", "_back", "_table")
+
+    def __init__(self, seq: "Sequence", decode: bool = False):
+        self._codes = seq.codes()
+        self._decode = decode
+        self._table = {2: alphabet.DECODE_2B, 4: alphabet.DECODE_4B,
+                       8: None}[seq.nb_bits]
+        self._front = 0
+        self._back = seq.size()
+
+    def set_range(self, begin: int, end: int) -> None:
+        if not (0 <= begin < end <= self._codes.size):
+            raise ValueError("bad range for IterSequence (sequence.rs:566-572)")
+        self._front = begin
+        self._back = end
+
+    def _emit(self, code: int):
+        if self._decode and self._table is not None:
+            return int(self._table[code])
+        return int(code)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._front >= self._back:
+            raise StopIteration
+        c = self._codes[self._front]
+        self._front += 1
+        return self._emit(c)
+
+    def next(self):
+        """Option-style forward step: None when exhausted."""
+        if self._front >= self._back:
+            return None
+        c = self._codes[self._front]
+        self._front += 1
+        return self._emit(c)
+
+    def next_back(self):
+        """Backward step from the end of the range (DoubleEndedIterator)."""
+        if self._back <= self._front:
+            return None
+        self._back -= 1
+        return self._emit(self._codes[self._back])
+
+
 # ---------------------------------------------------------------------------
 # device-side batched representation
 # ---------------------------------------------------------------------------

@@ -158,21 +158,23 @@ def multiplicity_from_values(values, valid):
     can = jnp.asarray(values)
     n, P = can.shape
     keys = jnp.where(valid, can.astype(U64), SENTINEL64)
-    s = jnp.sort(keys, axis=1)
-    new_run = jnp.concatenate(
-        [jnp.ones((n, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
-    seg = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1
-    # per-row segment counts via one flattened segment_sum
-    row_off = jnp.arange(n, dtype=jnp.int32)[:, None] * P
-    flat_seg = (seg + row_off).ravel()
-    is_real = (s != SENTINEL64).ravel()
-    counts = jax.ops.segment_sum(is_real.astype(jnp.int32), flat_seg,
-                                 num_segments=n * P).reshape(n, P)
-    run_counts = jnp.take_along_axis(counts, seg, axis=1)
-    # map back from sorted order to original positions
+    # argsort once; run lengths in sorted order come from two associative
+    # scans (run start via cummax, next-run start via reverse cummin) — no
+    # segment-sum; one inverse gather maps the counts back to original slots
     order = jnp.argsort(keys, axis=1)
-    inv = jnp.argsort(order, axis=1)
-    per_slot = jnp.take_along_axis(run_counts, inv, axis=1)
+    s = jnp.take_along_axis(keys, order, axis=1)
+    is_real = s != SENTINEL64
+    new_run = jnp.concatenate(
+        [jnp.ones((n, 1), bool), s[:, 1:] != s[:, :-1]], axis=1) & is_real
+    idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (n, P))
+    start = jax.lax.cummax(jnp.where(new_run, idx, -1), axis=1)
+    nxt = jnp.where(new_run | ~is_real, idx, P)
+    rev_min = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    next_start = jnp.concatenate(
+        [rev_min[:, 1:], jnp.full((n, 1), P, jnp.int32)], axis=1)
+    run_counts = next_start - start
+    per_slot = jnp.zeros((n, P), jnp.int32).at[
+        jnp.arange(n, dtype=jnp.int32)[:, None], order].set(run_counts)
     return jnp.where(valid, per_slot, 0)
 
 

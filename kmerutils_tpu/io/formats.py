@@ -147,6 +147,59 @@ def read_unique_kmer_dump(fname: str):
     return k, rec["k"].copy(), rec["r"].copy(), rec["p"].copy()
 
 
+class KmerCountReload:
+    """Reloaded dump with the reference's accessors
+    (kmercount.rs:1132-1503): counts map for multiple-kmer dumps; keys,
+    coordinate slots and the rank accessor used by the Julia companion
+    (``get_coord_from_rank``, kmercount.rs:1479-1487) for unique dumps.
+    """
+
+    def __init__(self, kmer_size: int, counts: dict | None = None,
+                 unique_keys=None, coords=None):
+        self.kmer_size = kmer_size
+        self.counts = counts
+        self.unique_keys = unique_keys
+        self.coords = coords  # [(read_num, pos)] aligned with unique_keys
+
+    @staticmethod
+    def load_multiple_kmers_from_file(fname: str) -> "KmerCountReload":
+        k, counts = read_multiple_kmer_dump(fname)
+        return KmerCountReload(k, counts=counts)
+
+    @staticmethod
+    def load_unique_kmers_from_file(fname: str) -> "KmerCountReload":
+        k, keys, rn, ps = read_unique_kmer_dump(fname)
+        return KmerCountReload(
+            k, unique_keys={int(v): i for i, v in enumerate(keys.tolist())},
+            coords=list(zip(rn.tolist(), ps.tolist())))
+
+    def get_kmer_count(self, value: int):
+        """Count of a kmer value, None if absent (kmercount.rs:1152-1170)."""
+        if self.counts is None:
+            return None
+        return self.counts.get(int(value))
+
+    def get_coord_from_rank(self, rank: int):
+        """(read_num, pos) of the rank-th unique kmer (kmercount.rs:1479-1487)."""
+        if self.coords is None or not 0 <= rank < len(self.coords):
+            return None
+        return self.coords[rank]
+
+    def get_unique_kmer_coord(self, value: int):
+        """Coordinate of a unique kmer value (implemented here; the
+        reference left it unimplemented, kmercount.rs:1475-1477)."""
+        if self.unique_keys is None:
+            return None
+        rank = self.unique_keys.get(int(value))
+        return None if rank is None else self.coords[rank]
+
+    def get_multi_kmer_counts(self):
+        """All counts as a list (kmercount.rs:1489-1500)."""
+        if self.counts is None:
+            return None
+        return list(self.counts.values())
+
+
 # ---------------------------------------------------------------------------
 # signature dumps
 # ---------------------------------------------------------------------------

@@ -1,11 +1,35 @@
-"""Misc utilities: balanced grouping of variable-length work.
+"""Misc utilities: balanced grouping of variable-length work + size guesses.
 
-Twin of /root/reference/src/groups.rs:9-67 (make_equal_groups): greedy
-contiguous partition of blocks into ~equal-size groups, used to balance
-variable-length reads across parallel workers / device batches.
+* ``make_equal_groups`` — twin of /root/reference/src/groups.rs:9-67: greedy
+  contiguous partition of blocks into ~equal-size groups, used to balance
+  variable-length reads across parallel workers / device batches.
+* ``get_nbkmer_guess`` / ``get_nbkmer_guess_seqs`` — twins of
+  /root/reference/src/sketching/nbkmerguess.rs:7-20: pre-size heuristics for
+  per-sequence kmer stores (here: capacity hints for host-side buffers and
+  shard caps — device shapes are static so the guard role moves to batch
+  sizing).
 """
 
 from __future__ import annotations
+
+
+_MAX_NB_KMER = 100_000_000
+_FACTOR_LIST = 10_000_000
+
+
+def get_nbkmer_guess(seq_len: int) -> int:
+    """min(len, 1e8 * (1 + ilog2(len))) — nbkmerguess.rs:7-13."""
+    if seq_len <= 0:
+        return 0
+    return min(seq_len, _MAX_NB_KMER * (1 + (seq_len.bit_length() - 1)))
+
+
+def get_nbkmer_guess_seqs(seq_lens) -> int:
+    """Guess for a list of sequences — nbkmerguess.rs:15-20."""
+    total = sum(seq_lens)
+    if total <= 0:
+        return 0
+    return min(total, _FACTOR_LIST * (1 + (total.bit_length() - 1)))
 
 
 def make_equal_groups(blocks_size, nbgroup: int) -> list[int]:
