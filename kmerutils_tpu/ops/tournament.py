@@ -1,0 +1,126 @@
+"""Pallas TPU kernel for the ProbMinHash weighted tournament.
+
+The hot op of the flagship sketch workload (SURVEY.md §6: per-read
+ProbMinHash signatures): for every read r and sketch slot s,
+
+    sig[r, s] = argmin over positions p of  E(p, s) = -ln(U(item_p, s)) / w_p
+
+with ties broken by the larger item value (keeping the sampler a pure
+function of the weighted item multiset — see sketch/probminhash.py).
+
+Kernel layout: one grid step per read.  Slots map to SUBLANES in groups of
+8; positions stream along LANES in chunks, with two accumulators (best E
+f32, best item u32) carried through a fori_loop — the [P, m] hash/draw grid
+never exists in memory.  The output block is [m, 1] so the per-slot-group
+result (a sublane vector) stores directly.  Compared with the fused-XLA
+formulation this avoids the u64 key emulation and the lane padding of
+m=200 -> 256 (slot groups of 8 pad nothing).
+
+The kernel is numerically identical to the XLA path in
+sketch/probminhash.py (same hash, same draw, same tie rule); tests assert
+exact equality (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+F32 = jnp.float32
+
+SUB = 8          # slots per group (sublanes)
+LANES = 512      # positions per inner step
+BIG = np.float32(np.inf)
+
+
+def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref):
+    p_pad = items_ref.shape[2]
+    m_pad = out_ref.shape[1]
+    n_chunks = p_pad // LANES
+    n_sg = m_pad // SUB
+
+    for sg in range(n_sg):  # static unroll: slot groups
+        sc = slotc_ref[pl.ds(sg * SUB, SUB), :]                    # [8, 1]
+
+        # fully unrolled position chunks: accumulators live in vector
+        # registers for the whole sweep (a fori_loop carry would round-trip
+        # them through VMEM every iteration — measured 4x slower)
+        best_e = jnp.full((SUB, LANES), BIG, F32)
+        best_i = jnp.zeros((SUB, LANES), U32)
+        for c in range(n_chunks):
+            it = items_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)]  # [1, L]
+            wv = winv_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)]
+            itb = jnp.broadcast_to(it, (SUB, LANES))
+            # murmur-style 2-multiply mix (matches probminhash._hash32)
+            h = itb ^ jnp.broadcast_to(sc, (SUB, LANES))
+            h = h * U32(0x9E3779B1)
+            h = h ^ (h >> U32(15))
+            h = h * U32(0x85EBCA77)
+            h = h ^ (h >> U32(13))
+            # Mosaic lacks u32->f32; the top-24-bit value fits i32 exactly,
+            # so bitcast to i32 before the int->float convert
+            u = (pltpu.bitcast(h >> U32(8), jnp.int32).astype(F32)
+                 + F32(1.0)) * F32(2.0**-24)
+            e = jnp.abs(-jnp.log(u)) * jnp.broadcast_to(wv, (SUB, LANES))
+            e = jnp.where(jnp.broadcast_to(wv, (SUB, LANES)) > F32(0.0),
+                          e, BIG)
+            upd = (e < best_e) | ((e == best_e) & (itb > best_i))
+            best_e = jnp.where(upd, e, best_e)
+            best_i = jnp.where(upd, itb, best_i)
+        # cross-lane reduce: min E, ties -> max item.  Mosaic has no unsigned
+        # reductions: flip the sign bit and max over i32 (order-preserving).
+        e_min = jnp.min(best_e, axis=1, keepdims=True)             # [8, 1]
+        eq = best_e == e_min
+        cand = jnp.where(eq, best_i, U32(0)) ^ U32(0x80000000)
+        win_i = jnp.max(pltpu.bitcast(cand, jnp.int32), axis=1,
+                        keepdims=True)                             # [8, 1]
+        win = pltpu.bitcast(win_i, U32) ^ U32(0x80000000)
+        out_ref[0, pl.ds(sg * SUB, SUB), 0] = win[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "seed", "interpret"))
+def weighted_tournament(items32, winv, m: int, seed: int = 0,
+                        interpret: bool = False):
+    """sig u32[n, m] — items32 u32[n, P], winv f32[n, P] (<= 0 marks invalid).
+
+    m is padded to a multiple of 8 internally; P to a multiple of 512.
+    Rows with no valid position return 0s (mask with your own empty flag).
+    """
+    items32 = jnp.asarray(items32, U32)
+    winv = jnp.asarray(winv, F32)
+    n, P = items32.shape
+    m_pad = -(-m // SUB) * SUB
+    p_pad = -(-P // LANES) * LANES
+    if p_pad != P:
+        items32 = jnp.pad(items32, ((0, 0), (0, p_pad - P)))
+        winv = jnp.pad(winv, ((0, 0), (0, p_pad - P)))  # pad winv=0 -> invalid
+
+    from ..sketch.probminhash import _slot_consts
+    slotc = _slot_consts(m_pad, seed).reshape(m_pad, 1)
+
+    # the package enables jax x64 globally, but Mosaic cannot lower i64 loop
+    # state; trace the kernel with x64 off (array dtypes are explicit anyway)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _tournament_kernel,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, m_pad, 1), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, m_pad, 1), U32),
+            interpret=interpret,
+        )(slotc, items32[:, None, :], winv[:, None, :])
+    return out[:, :m, 0]

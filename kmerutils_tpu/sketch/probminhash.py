@@ -98,11 +98,23 @@ def _tournament(items, winv, valid, m: int, seed: int):
     """
     items = jnp.asarray(items)
     wide = items.dtype == jnp.uint64
+    empty = ~valid.any(axis=1)
+
+    if not wide:
+        from .. import config
+        if config.pallas_tournament_enabled():
+            from ..ops.tournament import weighted_tournament
+            winv_m = jnp.where(valid, jnp.asarray(winv, F32), F32(0.0))
+            sig = weighted_tournament(items, winv_m, m, seed=seed)
+            return jnp.where(empty[:, None], U32(0), sig), empty
+
     slotc = _slot_consts(m, seed)
     it32 = _fold32(items)
 
     H = _hash32(it32, slotc)                                   # [n, P, m]
-    E = _neg_log_u24(H) * winv[..., None].astype(F32)
+    # abs() turns the -0.0 of a u==1 draw into +0.0 so the best possible
+    # draw wins (bit pattern 0) instead of losing under ~bits ordering
+    E = jnp.abs(_neg_log_u24(H) * winv[..., None].astype(F32))
     ebits = ~jax.lax.bitcast_convert_type(E, U32)              # max ~bits == min E
     if wide:
         n, P = items.shape
@@ -118,7 +130,6 @@ def _tournament(items, winv, valid, m: int, seed: int):
         sig = jnp.take_along_axis(items, idx, axis=1)
     else:
         sig = (best & U64(0xFFFFFFFF)).astype(U32)
-    empty = ~valid.any(axis=1)
     return jnp.where(empty[:, None], jnp.zeros((), items.dtype), sig), empty
 
 

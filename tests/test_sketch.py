@@ -92,6 +92,22 @@ class TestProbMinHash:
             np.zeros((1, 4), np.uint64), np.zeros((1, 4), np.int32), 16)
         assert bool(np.asarray(empty)[0])
 
+    def test_pallas_kernel_matches_xla_path(self, rng):
+        # the Pallas tournament kernel (interpret mode here) must be
+        # bit-exact with the fused-XLA formulation
+        from kmerutils_tpu.ops.tournament import weighted_tournament
+        n, P, m = 4, 700, 200
+        items = rng.integers(0, 50, size=(n, P)).astype(np.uint32)
+        w = rng.integers(1, 5, size=(n, P)).astype(np.int32)
+        valid = rng.random((n, P)) < 0.9
+        valid[3, :] = False
+        winv = np.where(valid, 1.0 / w, 0.0).astype(np.float32)
+        sig_xla, empty = probminhash._tournament(
+            items, winv.astype(np.float32), valid, m, 0)
+        sig_pl = weighted_tournament(items, winv, m, seed=0, interpret=True)
+        sig_pl = np.where(np.asarray(empty)[:, None], 0, np.asarray(sig_pl))
+        assert (np.asarray(sig_xla) == sig_pl).all()
+
     def test_from_items_matches_explicit_weights(self, rng):
         # probminhash_from_items derives multiplicities internally (sort +
         # run-length scans); must agree with explicit-weight signatures —
