@@ -31,8 +31,8 @@ BASELINE_MBASES_PER_S = 85.9  # 4.38 Gbases / 51 s (reference README.md:45)
 K = 8
 M = 200
 READ_LEN = 6000       # FAB49164 mean read length ~5.9 kb
-N_READS = 1024        # per batch
-HEAVY_CAP = 1024  # distinct repeated canonical 8-mers per 6kb read: ~550 expected
+N_READS = 1024       # per batch
+HEAVY_CAP = 1024  # legacy knob (kept for interface stability; kernel is exact)
 
 
 def make_batch(rng):

@@ -19,9 +19,19 @@ Design stance (see SURVEY.md §7):
 jax_enable_x64 at import time, before any JAX computation is traced.
 """
 
+import logging
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# RUST_LOG twin (reference lib.rs:41-54 lazy env_logger init): set
+# KMERUTILS_LOG=debug|info|... to enable the package logger.
+_level = os.environ.get("KMERUTILS_LOG")
+if _level:
+    logging.basicConfig()
+    logging.getLogger(__name__).setLevel(_level.upper())
 
 __version__ = "0.1.0"
 

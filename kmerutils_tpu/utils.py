@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import logging
+import time
 
 _MAX_NB_KMER = 100_000_000
 _FACTOR_LIST = 10_000_000
@@ -59,3 +61,39 @@ def make_equal_groups(blocks_size, nbgroup: int) -> list[int]:
     if frontiers[-1] < nb_blocks:
         frontiers.append(nb_blocks)
     return frontiers
+
+
+class PhaseTimer:
+    """Per-phase wall timers — the reference's ad-hoc std::time::Instant
+    prints (kmercount.rs:299-325, io.rs:36,63, statutils.rs:237-263) as a
+    reusable context manager; pairs with jax.profiler for device traces.
+
+    >>> t = PhaseTimer()
+    >>> with t.phase("ingest"):
+    ...     ...
+    >>> t.report()   # logs one line per phase
+    """
+
+    def __init__(self, logger: str = "kmerutils_tpu"):
+        self._log = logging.getLogger(logger)
+        self.elapsed: dict[str, float] = {}
+
+    def phase(self, name: str):
+        timer = self
+
+        class _Ctx:
+            def __enter__(self):
+                self._t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                timer.elapsed[name] = timer.elapsed.get(name, 0.0) + (
+                    time.perf_counter() - self._t0)
+                return False
+
+        return _Ctx()
+
+    def report(self) -> dict[str, float]:
+        for name, dt in self.elapsed.items():
+            self._log.info("phase %-20s %.3f s", name, dt)
+        return dict(self.elapsed)
