@@ -71,9 +71,7 @@ def main(argv=None):
             dist.record_batch(batch)
             keys, counts, rn, ps, nd = exact.count_batch_detailed(
                 batch, k, read_num_offset=offset)
-            nd = int(nd)
-            parts.append((np.asarray(keys)[:nd], np.asarray(counts)[:nd],
-                          np.asarray(rn)[:nd], np.asarray(ps)[:nd]))
+            parts.append(exact.compact_detailed(keys, counts, rn, ps))
             offset += batch.n_reads
         # merge across batches (host)
         keys, counts = exact.merge_counts_host(

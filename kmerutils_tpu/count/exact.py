@@ -40,9 +40,14 @@ SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 class KmerCounts:
     """Sorted distinct kmers with exact counts (padded, static shape).
 
-    keys:     uint64[N] — distinct canonical kmer values, ascending; padding
-              slots hold SENTINEL64.
-    counts:   int32[N]  — multiplicity per distinct kmer (0 on padding).
+    keys:     uint64[N] — each distinct canonical kmer value appears ONCE, at
+              its run-start position in the sorted order; every other slot
+              (duplicates, padding) holds SENTINEL64.  Live keys are therefore
+              ascending but NOT compacted to the front — compaction would
+              cost a 6M-element scatter/gather per batch, and every consumer
+              (host dumps, weighted sketching) filters by ``counts > 0``
+              anyway.  Use :func:`compact` on host for dense arrays.
+    counts:   int32[N]  — multiplicity at run starts, 0 elsewhere.
     n_unique: int32     — number of distinct kmers with count == 1.
     n_distinct: int32   — number of distinct kmers.
     """
@@ -59,25 +64,32 @@ def _flatten_valid(kmers, valid):
     return jnp.where(v, flat, SENTINEL64)
 
 
+def _run_lengths_1d(s, is_real):
+    """Run length at every position of a sorted 1-D array via two scans
+    (no segment-sum, no scatter — those measure 10-30x slower on TPU)."""
+    n = s.shape[0]
+    new_run = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & is_real
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(new_run, idx, -1))
+    nxt = jnp.where(new_run | ~is_real, idx, n)
+    rev_min = jax.lax.cummin(nxt[::-1])[::-1]
+    next_start = jnp.concatenate([rev_min[1:], jnp.full((1,), n, jnp.int32)])
+    return new_run, next_start - start
+
+
 def count_from_values(values_u64):
     """Exact counts of a 1-D uint64 key array (SENTINEL64 = ignore).
 
-    Returns a :class:`KmerCounts` whose arrays have the input length.
+    Returns a :class:`KmerCounts` whose arrays have the input length
+    (run-start-aligned — see the class docstring).
     """
     s = jnp.sort(values_u64)
-    n = s.shape[0]
     is_real = s != SENTINEL64
-    new_run = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & is_real
-    # segment id per element (run index); padding all lands in one trailing run
-    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    seg = jnp.where(is_real, seg, n - 1)
-    counts = jax.ops.segment_sum(is_real.astype(jnp.int32), seg, num_segments=n)
-    # distinct keys compacted to the front
-    run_starts = jnp.nonzero(new_run, size=n, fill_value=n - 1)[0]
-    keys = jnp.where(jnp.arange(n) < new_run.sum(), s[run_starts], SENTINEL64)
+    new_run, run_len = _run_lengths_1d(s, is_real)
+    keys = jnp.where(new_run, s, SENTINEL64)
+    counts = jnp.where(new_run, run_len, 0)
     n_distinct = new_run.sum().astype(jnp.int32)
-    counts = jnp.where(jnp.arange(n) < n_distinct, counts, 0)
-    n_unique = (counts == 1).sum().astype(jnp.int32)
+    n_unique = (new_run & (run_len == 1)).sum().astype(jnp.int32)
     return KmerCounts(keys=keys, counts=counts,
                       n_distinct=n_distinct, n_unique=n_unique)
 
@@ -94,35 +106,32 @@ def count_batch_detailed(batch: ReadBatch, k: int, read_num_offset: int = 0):
     canonical kmer (generation order: read-major, position-minor).
 
     Returns (keys u64[N], counts i32[N], first_read u32[N], first_pos u32[N],
-    n_distinct) with distinct kmers compacted to the front in ascending key
-    order; padding keys are SENTINEL64.
+    n_distinct), run-start-aligned like :class:`KmerCounts` (live slots are
+    exactly those with counts > 0, in ascending key order; padding keys are
+    SENTINEL64).
 
     The first-occurrence coordinates reproduce the reference's dump ordering
     (its dumps regenerate kmers in scan order and emit each on first sight,
-    kmercount.rs:186-224, 1060-1079).
+    kmercount.rs:186-224, 1060-1079): the stable sort keeps flat scan order
+    within each run, so each run start IS the first occurrence.
     """
     can, valid, _ = kmer_mod.canonical_kmers(batch, k)
-    read_num, pos = kmer_mod.kmer_coordinates(batch, k, read_num_offset)
     keys = _flatten_valid(can, valid)
-    rn = jnp.ravel(read_num)
-    ps = jnp.ravel(pos)
-    # stable sort: within a run of equal keys, flat (scan) order is preserved,
-    # so each run's first element is the kmer's first occurrence
-    order = jnp.argsort(keys, stable=True)
-    s, rn, ps = keys[order], rn[order], ps[order]
-    n = s.shape[0]
+    n = keys.shape[0]
+    P = can.shape[1]
+    # variadic stable sort carries the flat index along with the key;
+    # (read, pos) fall out of the index arithmetically — no gathers
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s, perm = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
     is_real = s != SENTINEL64
-    new_run = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & is_real
-    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    seg = jnp.where(is_real, seg, n - 1)
-    counts = jax.ops.segment_sum(is_real.astype(jnp.int32), seg, num_segments=n)
-    run_starts = jnp.nonzero(new_run, size=n, fill_value=n - 1)[0]
+    new_run, run_len = _run_lengths_1d(s, is_real)
+    rn = (perm // P).astype(U32) + U32(read_num_offset)
+    ps = (perm % P).astype(U32)
+    out_keys = jnp.where(new_run, s, SENTINEL64)
+    out_counts = jnp.where(new_run, run_len, 0)
+    out_rn = jnp.where(new_run, rn, 0)
+    out_ps = jnp.where(new_run, ps, 0)
     n_distinct = new_run.sum().astype(jnp.int32)
-    live = jnp.arange(n) < n_distinct
-    out_keys = jnp.where(live, s[run_starts], SENTINEL64)
-    out_counts = jnp.where(live, counts, 0)
-    out_rn = jnp.where(live, rn[run_starts], 0).astype(U32)
-    out_ps = jnp.where(live, ps[run_starts], 0).astype(U32)
     return out_keys, out_counts, out_rn, out_ps, n_distinct
 
 
@@ -130,21 +139,17 @@ def unique_kmer_coords(batch: ReadBatch, k: int, read_num_offset: int = 0):
     """Unique (count==1) canonical kmers with their coordinates.
 
     Twin of KmerFilter1 + its coordinate dump (kmercount.rs:985-1123): returns
-    (keys u64[N], read_num u32[N], pos u32[N], n_unique) sorted by kmer value,
-    padding keyed SENTINEL64.  The coordinate reported for a unique kmer is its
-    single occurrence.
+    (keys u64[N], read_num u32[N], pos u32[N], n_unique), run-start-aligned
+    (live slots have key != SENTINEL64, ascending).  The coordinate reported
+    for a unique kmer is its single occurrence.
     """
     keys, counts, rn, ps, n_distinct = count_batch_detailed(
         batch, k, read_num_offset)
-    n = keys.shape[0]
-    is_unique = (counts == 1) & (jnp.arange(n) < n_distinct)
-    n_uniq = is_unique.sum().astype(jnp.int32)
-    idx = jnp.nonzero(is_unique, size=n, fill_value=n - 1)[0]
-    live = jnp.arange(n) < n_uniq
-    out_keys = jnp.where(live, keys[idx], SENTINEL64)
-    out_rn = jnp.where(live, rn[idx], 0)
-    out_ps = jnp.where(live, ps[idx], 0)
-    return out_keys, out_rn, out_ps, n_uniq
+    is_unique = counts == 1
+    out_keys = jnp.where(is_unique, keys, SENTINEL64)
+    out_rn = jnp.where(is_unique, rn, 0)
+    out_ps = jnp.where(is_unique, ps, 0)
+    return out_keys, out_rn, out_ps, is_unique.sum().astype(jnp.int32)
 
 
 def multiplicity_from_values(values, valid):
@@ -209,6 +214,24 @@ def merge_counts_host(parts):
 
 
 def compact(kc: KmerCounts):
-    """Strip padding on host; returns numpy (keys, counts)."""
-    nd = int(kc.n_distinct)
-    return np.asarray(kc.keys)[:nd], np.asarray(kc.counts)[:nd]
+    """Strip padding on host; returns numpy (keys, counts) dense ascending."""
+    keys = np.asarray(kc.keys)
+    counts = np.asarray(kc.counts)
+    sel = counts > 0
+    return keys[sel], counts[sel]
+
+
+def compact_detailed(keys, counts, rn, ps):
+    """Host densification of count_batch_detailed outputs ->
+    numpy (keys, counts, read_nums, positions), ascending by key."""
+    counts = np.asarray(counts)
+    sel = counts > 0
+    return (np.asarray(keys)[sel], counts[sel],
+            np.asarray(rn)[sel], np.asarray(ps)[sel])
+
+
+def compact_unique(keys, rn, ps):
+    """Host densification of unique_kmer_coords outputs."""
+    keys = np.asarray(keys)
+    sel = keys != SENTINEL64
+    return keys[sel], np.asarray(rn)[sel], np.asarray(ps)[sel]

@@ -55,13 +55,14 @@ class TestExactCount:
         reads = ["ACGTACGTAA", "TTTTACGTAC"]
         k = 5
         keys, rn, ps, n_uniq = exact.unique_kmer_coords(pack_ascii_reads(reads), k)
+        keys, rn, ps = exact.compact_unique(keys, rn, ps)
         want = oracle_counts(reads, k)
         uniq_vals = {v for v, c in want.items() if c == 1}
-        n = int(n_uniq)
-        got = {int(v) for v in np.asarray(keys)[:n]}
+        assert len(keys) == int(n_uniq)
+        got = {int(v) for v in keys}
         assert got == uniq_vals
         # each coordinate must point at an occurrence of that canonical kmer
-        for v, r, p in zip(np.asarray(keys)[:n], np.asarray(rn)[:n], np.asarray(ps)[:n]):
+        for v, r, p in zip(keys, rn, ps):
             s = reads[int(r)][int(p) : int(p) + k]
             can = min(kmer.kmer_value_from_str(s),
                       kmer.kmer_value_from_str(revcomp_str(s)))

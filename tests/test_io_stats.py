@@ -71,9 +71,8 @@ class TestDumpFormats:
         reads = make_reads(rng, 6, 100, 200) * 2  # duplicates -> counts >= 2
         batch = pack_ascii_reads(reads)
         keys, counts, rn, ps, nd = exact.count_batch_detailed(batch, k)
-        nd = int(nd)
-        keys, counts = np.asarray(keys)[:nd], np.asarray(counts)[:nd]
-        rn, ps = np.asarray(rn)[:nd], np.asarray(ps)[:nd]
+        keys, counts, rn, ps = exact.compact_detailed(keys, counts, rn, ps)
+        assert len(keys) == int(nd)
         # reference record order: first-occurrence scan order
         order = np.argsort(rn.astype(np.int64) * (1 << 32) + ps, kind="stable")
         p = str(tmp_path / "d.multi_kmer.bin")
@@ -97,8 +96,8 @@ class TestDumpFormats:
         batch = pack_ascii_reads(reads)
         k = 16
         keys, rn, ps, nu = exact.unique_kmer_coords(batch, k)
-        nu = int(nu)
-        keys, rn, ps = (np.asarray(x)[:nu] for x in (keys, rn, ps))
+        keys, rn, ps = exact.compact_unique(keys, rn, ps)
+        assert len(keys) == int(nu)
         order = np.argsort(rn.astype(np.int64) * (1 << 32) + ps, kind="stable")
         p = str(tmp_path / "d.once_kmer.bin")
         formats.write_unique_kmer_dump(p, k, keys[order], rn[order], ps[order])

@@ -47,8 +47,9 @@ class TestShardedCount:
         assert int(np.asarray(dropped).sum()) == 0
         got = {}
         for d in range(keys.shape[0]):
-            n = int(np.asarray(nd)[d])
-            for kk, cc in zip(keys[d, :n], counts[d, :n]):
+            live = counts[d] > 0
+            assert live.sum() == int(np.asarray(nd)[d])
+            for kk, cc in zip(keys[d][live], counts[d][live]):
                 assert kk not in got  # shards disjoint
                 got[int(kk)] = int(cc)
         want = oracle_counts(reads, k)
@@ -61,11 +62,11 @@ class TestShardedCount:
         k = 9
         keys, counts, dropped, nd, nu = collective.sharded_count(batch, k, mesh8)
         keys = np.asarray(keys)
+        counts = np.asarray(counts)
         for d in range(8):
-            n = int(np.asarray(nd)[d])
-            if n:
-                sid = np.asarray(dispatch.dispatch(
-                    jnp.asarray(keys[d, :n]), 8, k))
+            live = keys[d][counts[d] > 0]
+            if live.size:
+                sid = np.asarray(dispatch.dispatch(jnp.asarray(live), 8, k))
                 assert (sid == d).all()
 
 
