@@ -38,17 +38,18 @@ INF = np.float32(np.inf)
 
 def _oph_buckets(items, valid, m: int, seed: int):
     """Base one-permutation hashing: per-read bucket minima [n, m] f32
-    (empty buckets = +inf) and the item achieving each minimum."""
+    (empty buckets = +inf).
+
+    Computed as one fused broadcast min-reduction over positions per bucket
+    (bucket==b ? val : inf) — a [n, P, m] elementwise grid XLA streams at
+    compute speed; the scatter-min formulation measures ~25x slower on TPU.
+    """
     items = jnp.asarray(items, U64)
-    n, P = items.shape
     h = splitmix64(items ^ np.uint64(seed * 0x9E3779B97F4A7C15 + 1))
     bucket = (h % U64(m)).astype(jnp.int32)
     val = uniform01_f32_from_bits((h >> U64(32)).astype(jnp.uint32))
-    val = jnp.where(valid, val, INF)
-    bucket = jnp.where(valid, bucket, 0)
-    row = jnp.arange(n, dtype=jnp.int32)[:, None]
-    mins = jnp.full((n, m), INF, F32).at[row, bucket].min(val)
-    return mins
+    hit = (bucket[..., None] == jnp.arange(m, dtype=jnp.int32)) & valid[..., None]
+    return jnp.min(jnp.where(hit, val[..., None], INF), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "seed", "max_rounds"))

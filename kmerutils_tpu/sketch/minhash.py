@@ -37,18 +37,18 @@ def bottomk_sketch(hashes, valid, size: int):
     is_real = s != SENTINEL
     new_run = jnp.concatenate([jnp.ones((n, 1), bool), s[:, 1:] != s[:, :-1]],
                               axis=1) & is_real
-    seg = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1
-    row_off = jnp.arange(n, dtype=jnp.int32)[:, None] * P
-    flat_seg = jnp.where(is_real, seg + row_off, n * P - 1).ravel()
-    counts = jax.ops.segment_sum(is_real.ravel().astype(jnp.int32), flat_seg,
-                                 num_segments=n * P).reshape(n, P)
-    # distinct values sit at run starts; their rank is seg — scatter to rank
-    rank = jnp.where(new_run, seg, P - 1)
-    row = jnp.arange(n, dtype=jnp.int32)[:, None]
-    # count of the run that starts at position j is counts[row, seg[j]]
-    run_count = jnp.take_along_axis(counts, seg, axis=1)
-    dv = jnp.full((n, P), SENTINEL, U64).at[row, rank].min(jnp.where(new_run, s, SENTINEL))
-    dc = jnp.zeros((n, P), jnp.int32).at[row, rank].max(jnp.where(new_run, run_count, 0))
+    # run length per position via two scans (no segment-sum / scatter)
+    idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (n, P))
+    start = jax.lax.cummax(jnp.where(new_run, idx, -1), axis=1)
+    nxt = jnp.where(new_run | ~is_real, idx, P)
+    rev_min = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    next_start = jnp.concatenate(
+        [rev_min[:, 1:], jnp.full((n, 1), P, jnp.int32)], axis=1)
+    run_count = next_start - start
+    # compact distinct values to the front with one variadic re-sort
+    dv, dc = jax.lax.sort(
+        (jnp.where(new_run, s, SENTINEL),
+         jnp.where(new_run, run_count, 0)), dimension=1, num_keys=1)
     return dv[:, :size], dc[:, :size]
 
 

@@ -4,25 +4,32 @@ Capability twin of SuperHashSketch / SuperHash2Sketch
 (/root/reference/src/sketching/setsketchert.rs:211-336, 904-1046).  The
 defining structure: for item d and slot j,
 
-    h_j(d) = u_{d,j} + pi_d(j)
+    h_j(d) = pi_d(j) + u_{d,j}
 
-where u_{d,j} ~ U[0,1) and pi_d is a uniformly random permutation of
-{0..m-1}, both pure functions of d; signature_j = min_d h_j(d).  The
-permutation spreads each item's small values across slots, which cuts the
-estimator variance vs m independent minhashes (Ertl's result).
+where u_{d,j} ~ U[0,1) and pi_d is a random permutation of {0..m-1}, both
+pure functions of d; signature_j = min_d h_j(d).  The permutation spreads
+each item's small values across slots (sampling without replacement), which
+cuts the estimator variance vs m independent minhashes (Ertl's result).
+Unbiasedness needs only that pi_d(j) is identically distributed across items
+and independent item-to-item; the variance cut needs each item to take every
+permutation value exactly once — both hold for any keyed permutation family.
 
 The reference generates pi_d by incremental Fisher-Yates inside a sequential
-loop.  Here pi_d(j) is a format-preserving 4-round Feistel permutation over
-the next power-of-two domain with cycle-walking, keyed by d — fully
-vectorized, deterministic per (d, j), uniform enough for the variance
-benefit.  Cycle-walking is capped at 16 fixed rounds (P(residual out-of-range)
-< 2^-16 per element; stragglers clamp to m-1 — deterministic, so estimator
-consistency is unaffected).
+loop.  Here pi_d is a keyed bijection of the next-power-of-two superdomain
+(odd-multiply + xorshift rounds, each bijective mod 2^b) with cycle-walking
+back into [0, m), evaluated in closed form per (d, j).  Everything packs
+into ONE u32 key per (d, j):
+
+    key = pi << u_bits | u        (u = top u_bits of a 32-bit item-slot hash)
+
+so the whole sketch is a single fused u32 min-reduction over positions —
+the same shape XLA already executes at memory speed for ProbMinHash.
 
 Two signature flavors, as in the reference:
-* ``superminhash``  — float32 signatures (SUPER; Sig=f32/f64 in the crate)
-* ``superminhash2`` — uint64 signatures (SUPER2): same ordering on the exact
-  integer key (pi << 32 | top32(u)), so no float ties at all.
+* ``superminhash2`` — u32 packed signatures (SUPER2 role; integer, no ties)
+* ``superminhash``  — float64 signatures pi + u/2^u_bits (SUPER role); an
+  exact monotone transform of the packed key, so both flavors estimate
+  identically (tests assert equality).
 """
 
 from __future__ import annotations
@@ -33,70 +40,104 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.rng import splitmix64, mix2_64
+from ..ops.rng import splitmix64
 
 U32 = jnp.uint32
 U64 = jnp.uint64
-F32 = jnp.float32
+F64 = jnp.float64
+
+SENTINEL32 = np.uint32(0xFFFFFFFF)
+_WALKS = 4  # fixed cycle-walk rounds: worst-case out-of-range residual
+            # (1/2)^5 ~ 3% ... for the worst dom/m just under 2; typical
+            # (m=200, dom=256) residual is 0.22^5 ~ 5e-4 of (item, slot)
+            # pairs, which clamp to m-1 — deterministic, estimator-negligible
+
+
+def _perm_bits(m: int) -> int:
+    return max((m - 1).bit_length(), 1)
+
+
+def _encrypt_pow2(x, a_odd, b, nbits: int):
+    """Keyed bijection of [0, 2^nbits): odd-multiply + xor, then xorshift —
+    each step bijective mod 2^nbits, so the composition is a permutation."""
+    mask = U32((1 << nbits) - 1)
+    x = (x * a_odd ^ b) & mask
+    x = (x ^ (x >> U32(max(nbits // 2, 1)))) & mask
+    return x
 
 
 def _small_perm(j, keys_u64, m: int):
-    """Keyed pseudorandom permutation of [0, m): cycle-walked rounds of
-    (xor key, odd multiply, xorshift-right) on the pow2 superdomain — each
-    round step is bijective mod 2^nbits, so the composition is a permutation."""
-    nbits = max((m - 1).bit_length(), 1)
-    dom = 1 << nbits
-    mask = np.uint64(dom - 1)
-
-    def encrypt(x_u64, salt):
-        k1 = splitmix64(keys_u64 ^ np.uint64(salt))
-        x = (x_u64 ^ (k1 & mask)) & mask
-        x = (x * U64(0x9E3779B97F4A7C15 | 1)) & mask   # odd multiplier
-        x = (x ^ (x >> U64(max(nbits // 2, 1)))) & mask  # xorshift-right
-        return x
-
-    j = jnp.asarray(j, U64)
-    x = j
-    for r in range(3):
-        x = encrypt(x, 0xA5A5 + r)
-    # cycle-walk back into [0, m)
-    for _ in range(16):
-        out = x >= U64(m)
-        x2 = x
-        for r in range(3):
-            x2 = encrypt(x2, 0xA5A5 + r)
-        x = jnp.where(out, x2, x)
-    x = jnp.minimum(x, U64(m - 1))
+    """Keyed pseudorandom permutation of [0, m) — cycle-walked keyed
+    bijection of the pow2 superdomain.  j, keys_u64 broadcastable uint64."""
+    nbits = _perm_bits(m)
+    k1 = splitmix64(jnp.asarray(keys_u64) ^ np.uint64(0xA5A5A5A5))
+    a = (k1 >> U64(32)).astype(U32) | U32(1)
+    b = k1.astype(U32)
+    x = jnp.asarray(j).astype(U32)
+    x = _encrypt_pow2(x, a, b, nbits)
+    for _ in range(_WALKS):
+        out = x >= U32(m)
+        x = jnp.where(out, _encrypt_pow2(x, a, b, nbits), x)
+    x = jnp.minimum(x, U32(m - 1))
     return x.astype(jnp.int32)
+
+
+def _fold32(items):
+    items = jnp.asarray(items)
+    if items.dtype == jnp.uint64:
+        return (items ^ (items >> U64(32))).astype(U32)
+    return items.astype(U32)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "seed"))
 def superminhash2(items, valid, m: int, seed: int = 0):
-    """Integer-signature SuperMinHash (SUPER2): sig uint64[n, m].
+    """Integer-signature SuperMinHash (SUPER2): sig uint32[n, m] — the packed
+    (pi << u_bits | u) key of the winning item per slot.
 
-    items uint64[n, P], valid bool[n, P].
+    items uint64/uint32[n, P], valid bool[n, P].
     """
-    items = jnp.asarray(items, U64)
-    n, P = items.shape
-    key = splitmix64(items ^ np.uint64(seed))
-    j = jnp.arange(m, dtype=np.uint64)[None, None, :]
-    pi = _small_perm(jnp.broadcast_to(j, (n, P, m)), key[..., None], m)
-    u32 = (mix2_64(items[..., None], j + np.uint64(seed) * np.uint64(0x632BE59B))
-           >> U64(32)).astype(U64)
-    hkey = (pi.astype(U64) << U64(32)) | u32
-    hkey = jnp.where(valid[..., None], hkey, U64(0xFFFFFFFFFFFFFFFF))
-    sig = jnp.min(hkey, axis=1)
+    it32 = _fold32(items)
+    pi_bits = _perm_bits(m)
+    u_bits = 32 - pi_bits
+
+    # per-item permutation key (a, b) and per-slot uniform draw
+    kd = splitmix64(jnp.asarray(items).astype(U64)
+                    ^ np.uint64(seed * 0x9E3779B97F4A7C15 + 0x51))
+    a = (kd >> U64(32)).astype(U32) | U32(1)
+    b = kd.astype(U32)
+    nbits = _perm_bits(m)
+    j = jnp.arange(m, dtype=np.uint32)[None, None, :]
+    x = _encrypt_pow2(j, a[..., None], b[..., None], nbits)
+    for _ in range(_WALKS):
+        out = x >= U32(m)
+        x = jnp.where(out, _encrypt_pow2(x, a[..., None], b[..., None], nbits), x)
+    pi = jnp.minimum(x, U32(m - 1))
+
+    c = U32
+    sc = (splitmix64(jnp.arange(m, dtype=np.uint64)
+                     + np.uint64(seed) * np.uint64(0x632BE59B))
+          >> U64(32)).astype(U32)
+    h = (it32[..., None] ^ sc) * c(0x85EBCA77)
+    h = h ^ (h >> c(13))
+    h = h * c(0xC2B2AE3D)
+    h = h ^ (h >> c(16))
+    u = h >> U32(pi_bits)
+
+    key = (pi << U32(u_bits)) | u
+    key = jnp.where(valid[..., None], key, SENTINEL32)
+    sig = jnp.min(key, axis=1)
     empty = ~valid.any(axis=1)
-    return jnp.where(empty[:, None], U64(0xFFFFFFFFFFFFFFFF), sig), empty
+    return jnp.where(empty[:, None], SENTINEL32, sig), empty
 
 
 @functools.partial(jax.jit, static_argnames=("m", "seed"))
 def superminhash(items, valid, m: int, seed: int = 0):
-    """Float-signature SuperMinHash (SUPER): sig float32[n, m] in [0, m)."""
+    """Float-signature SuperMinHash (SUPER; Sig = f64 in the reference):
+    sig[j] = pi + u / 2^u_bits in [0, m) — an exact monotone transform of
+    the packed integer signature, so both flavors estimate identically."""
     sig2, empty = superminhash2(items, valid, m, seed)
-    pi = (sig2 >> U64(32)).astype(F32)
-    u = (sig2 & U64(0xFFFFFFFF)).astype(F32) * F32(2.0**-32)
-    sig = pi + u
+    u_bits = 32 - _perm_bits(m)
+    sig = sig2.astype(F64) * F64(2.0 ** -u_bits)
     return jnp.where(empty[:, None], jnp.inf, sig), empty
 
 
