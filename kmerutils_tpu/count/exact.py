@@ -101,6 +101,16 @@ def count_batch(batch: ReadBatch, k: int) -> KmerCounts:
     return count_from_values(_flatten_valid(can, valid))
 
 
+def count_batch_nthash(batch: ReadBatch, k: int) -> KmerCounts:
+    """Counting keyed by canonical ntHash values instead of kmer values —
+    the 'ntHash generation feeding counting' pipeline (the reference derives
+    shard routing and sketch keys from these hashes; counting by hash is
+    exact up to u64 hash collisions, ~N^2/2^65 expected)."""
+    from ..base import nthash
+    _, _, canonical, _, valid = nthash.nthash_kmers(batch, k)
+    return count_from_values(_flatten_valid(canonical, valid))
+
+
 def count_batch_detailed(batch: ReadBatch, k: int, read_num_offset: int = 0):
     """Exact counts plus the FIRST-OCCURRENCE coordinate of every distinct
     canonical kmer (generation order: read-major, position-minor).

@@ -145,3 +145,24 @@ class TestRngAndDispatch:
         u = np.asarray(krng.uniform01_from_bits(bits))
         assert (u > 0).all() and (u <= 1).all()
         assert abs(u.mean() - 0.5) < 0.05
+
+
+def test_count_batch_nthash(rng):
+    from kmerutils_tpu.base import nthash
+    reads = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(4)]
+    reads.append(reads[0])
+    k = 9
+    batch = pack_ascii_reads(reads)
+    kc = exact.count_batch_nthash(batch, k)
+    keys, counts = exact.compact(kc)
+    # oracle: canonical nthash per position via the scalar golden model
+    c = collections.Counter()
+    for s in reads:
+        codes = np.frombuffer(s.encode(), dtype=np.uint8)
+        from kmerutils_tpu.base.alphabet import encode_2b
+        cc = encode_2b(codes)
+        for p in range(len(s) - k + 1):
+            f = nthash.nthash_init_ref(cc[p : p + k])
+            r = nthash.nthash_rcomp_init_ref(cc[p : p + k])
+            c[min(f, r)] += 1
+    assert dict(zip(keys.tolist(), counts.tolist())) == dict(c)
