@@ -58,16 +58,28 @@ class SetSketchParams:
 def setsketch_signatures(items, valid, params: SetSketchParams, seed: int = 0):
     """Per-read SetSketch registers [n, m] (integer dtype per params.q).
 
-    items uint64[n, P], valid bool[n, P].
+    items uint64/uint32[n, P], valid bool[n, P].  One fused u32-hash +
+    draw + max-reduction over positions (the same shape as the ProbMinHash
+    tournament) — the [n, P, m] grid never reaches HBM.
     """
-    items = jnp.asarray(items, U64)
+    items = jnp.asarray(items)
+    if items.dtype == jnp.uint64:
+        it32 = (items ^ (items >> U64(32))).astype(jnp.uint32)
+    else:
+        it32 = items.astype(jnp.uint32)
     m = params.m
-    salts = jnp.arange(m, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-    h = mix2_64(items[..., None], salts)                      # [n, P, m]
-    u = ((h >> U64(40)).astype(F32) + F32(1.0)) * F32(2.0**-24)
+    c = jnp.uint32
+    salts = (mix2_64(jnp.arange(m, dtype=np.uint64),
+                     np.uint64(seed * 2 + 1)) >> U64(32)).astype(c)
+    h = it32[..., None] ^ salts
+    h = h * c(0x9E3779B1)
+    h = h ^ (h >> c(15))
+    h = h * c(0x85EBCA77)
+    h = h ^ (h >> c(13))
+    u = ((h >> c(8)).astype(F32) + F32(1.0)) * F32(2.0**-24)
     e = -jnp.log(u)                                           # Exp(1)
-    ln_b = np.float32(np.log(params.b))
-    val = 1.0 + jnp.floor((np.float32(np.log(params.a)) - jnp.log(e)) / ln_b)
+    inv_ln_b = np.float32(1.0 / np.log(params.b))
+    val = 1.0 + jnp.floor((np.float32(np.log(params.a)) - jnp.log(e)) * inv_ln_b)
     val = jnp.clip(val, 0.0, float(params.q))
     val = jnp.where(valid[..., None], val, 0.0)
     regs = jnp.max(val, axis=1)
