@@ -188,8 +188,8 @@ def multiplicity_from_values(values, valid):
     next_start = jnp.concatenate(
         [rev_min[:, 1:], jnp.full((n, 1), P, jnp.int32)], axis=1)
     run_counts = next_start - start
-    per_slot = jnp.zeros((n, P), jnp.int32).at[
-        jnp.arange(n, dtype=jnp.int32)[:, None], order].set(run_counts)
+    # inverse permutation via one variadic re-sort (scatter is ~5x slower)
+    _, per_slot = jax.lax.sort((order, run_counts), dimension=1, num_keys=1)
     return jnp.where(valid, per_slot, 0)
 
 
