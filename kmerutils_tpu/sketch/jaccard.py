@@ -30,6 +30,9 @@ from .setsketch import SetSketchParams
 
 U64 = jnp.uint64
 
+# per-Sketcher jitted whole-batch programs (Sketcher is frozen/hashable)
+_JITTED: dict = {}
+
 
 def hashed_kmers(batch: ReadBatch, k: int, hash_name: str = "wang"):
     """(items u64[n,P], valid bool[n,P]) — canonical kmers through fhash."""
@@ -55,13 +58,19 @@ def hashed_weighted_kmers(batch: ReadBatch, k: int, hash_name: str = "wang"):
 
 @dataclasses.dataclass(frozen=True)
 class Sketcher:
-    """Algorithm-dispatched sequence sketcher (the SeqSketcherT role)."""
+    """Algorithm-dispatched sequence sketcher (the SeqSketcherT role).
+
+    ``sketch_batch`` runs as ONE jitted program per (params, batch shape) —
+    kmer extraction, canonicalization, hashing and the sketch kernel fuse
+    into a single device computation (eager dispatch of the prefix ops
+    dominates wall time on remote-attached TPUs otherwise).
+    """
 
     params: SeqSketcherParams
     hash_name: str = "wang"
     seed: int = 0
     setsketch_params: SetSketchParams | None = None
-    heavy_cap: int = 2048  # ProbMinHash repeated-kmer buffer per read
+    heavy_cap: int = 2048  # legacy knob (ProbMinHash is exact; ignored)
 
     def get_kmer_size(self) -> int:
         return self.params.kmer_size
@@ -72,29 +81,39 @@ class Sketcher:
     def get_algo(self) -> SketchAlgo:
         return self.params.algo
 
-    # -- per-read signatures (sketch_compressedkmer) ------------------------
-    def sketch_batch(self, batch: ReadBatch):
+    def _batch_fn(self):
         k, m = self.params.kmer_size, self.params.sketch_size
         algo = self.params.algo
-        if algo == SketchAlgo.PROB3A:
-            items, valid = hashed_kmers(batch, k, self.hash_name)
-            sig, _, _ = probminhash.probminhash_from_items(
-                items, valid, m, heavy_cap=min(self.heavy_cap, items.shape[1]),
-                seed=self.seed)
-            return sig
-        items, valid = hashed_kmers(batch, k, self.hash_name)
-        if algo == SketchAlgo.SUPER:
-            return superminhash.superminhash(items, valid, m, self.seed)[0]
-        if algo == SketchAlgo.SUPER2:
-            return superminhash.superminhash2(items, valid, m, self.seed)[0]
-        if algo == SketchAlgo.OPTDENS:
-            return densminhash.optdens_signatures(items, valid, m, self.seed)[0]
-        if algo == SketchAlgo.REVOPTDENS:
-            return densminhash.revoptdens_signatures(items, valid, m, self.seed)[0]
-        if algo == SketchAlgo.HLL:
-            sp = self.setsketch_params or SetSketchParams(m=m)
-            return setsketch.setsketch_signatures(items, valid, sp, self.seed)
-        raise ValueError(f"unhandled algo {algo}")
+        hash_name, seed = self.hash_name, self.seed
+        sp = self.setsketch_params or SetSketchParams(m=m)
+
+        def fn(words, lengths):
+            batch = ReadBatch(words=words, lengths=lengths)
+            items, valid = hashed_kmers(batch, k, hash_name)
+            if algo == SketchAlgo.PROB3A:
+                return probminhash.probminhash_from_items(
+                    items, valid, m, seed=seed)[0]
+            if algo == SketchAlgo.SUPER:
+                return superminhash.superminhash(items, valid, m, seed)[0]
+            if algo == SketchAlgo.SUPER2:
+                return superminhash.superminhash2(items, valid, m, seed)[0]
+            if algo == SketchAlgo.OPTDENS:
+                return densminhash.optdens_signatures(items, valid, m, seed)[0]
+            if algo == SketchAlgo.REVOPTDENS:
+                return densminhash.revoptdens_signatures(items, valid, m, seed)[0]
+            if algo == SketchAlgo.HLL:
+                return setsketch.setsketch_signatures(items, valid, sp, seed)
+            raise ValueError(f"unhandled algo {algo}")
+
+        return fn
+
+    # -- per-read signatures (sketch_compressedkmer) ------------------------
+    def sketch_batch(self, batch: ReadBatch):
+        fn = _JITTED.get(self)
+        if fn is None:
+            fn = jax.jit(self._batch_fn())
+            _JITTED[self] = fn
+        return fn(batch.words, batch.lengths)
 
     # -- one sketch for a whole collection (sketch_compressedkmer_seqs) -----
     def sketch_collection(self, batch: ReadBatch):
