@@ -39,6 +39,10 @@ def build_parser():
                     help="accepted for parity; batching replaces threads")
     km.add_argument("-c", "--counter", type=int, default=8, dest="counter_size",
                     help="bits per count in the dump (8 or 16)")
+    km.add_argument("--capacity", type=int, default=1 << 25,
+                    help="device count-table capacity in distinct kmers "
+                         "(the reference's cuckoo capacity role, "
+                         "kmercount.rs:297-307)")
     ret = sub.add_parser("ret", help="return times (reserved)")
     ret.add_argument("-b", "--base", type=str, default="A")
     return p
@@ -62,45 +66,42 @@ def main(argv=None):
             print(f"kmer size {k} unsupported (14-max u32 / 16 / 17..32)",
                   file=sys.stderr)
             return 1
-        parts = []
-        uniq_parts = []
+        import jax
+        # device-resident streaming accumulation: batches merge on device,
+        # records transfer to host once (parse-fastq's cuckoo-capacity role)
+        table = exact.DeviceCountTable.create(args.capacity)
+        inputs_fn = jax.jit(exact.batch_table_inputs, static_argnames=("k",))
         offset = 0
         for batch, idx in fastx.read_batches(args.filename,
                                              batch_reads=args.batch_reads,
                                              stats=st, bucket=False):
             dist.record_batch(batch)
-            keys, counts, rn, ps, nd = exact.count_batch_detailed(
-                batch, k, read_num_offset=offset)
-            parts.append(exact.compact_detailed(keys, counts, rn, ps))
+            keys, counts, coord = inputs_fn(batch, k=k,
+                                            read_num_offset=offset)
+            table = exact.table_update(table, keys, counts, coord)
             offset += batch.n_reads
-        # merge across batches (host)
-        keys, counts = exact.merge_counts_host(
-            [(p[0], p[1]) for p in parts])
-        # first occurrence across batches = min (read, pos) per key
-        first = {}
-        for pk, _pc, pr, pp in parts:
-            for kk, rr, cc in zip(pk.tolist(), pr.tolist(), pp.tolist()):
-                cur = first.get(kk)
-                cand = (rr, cc)
-                if cur is None or cand < cur:
-                    first[kk] = cand
-        order = np.lexsort(([first[kk][1] for kk in keys.tolist()],
-                            [first[kk][0] for kk in keys.tolist()]))
+        dropped = int(np.asarray(table.n_dropped))
+        if dropped:
+            print(f"WARNING: table capacity {args.capacity} exceeded; "
+                  f"{dropped} distinct kmers dropped (raise --capacity)",
+                  file=sys.stderr)
         if args.count:
+            keys, counts, frn, fps = exact.table_finalize(table, min_count=2)
+            order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
+                               | fps, kind="stable")  # scan order
             out = args.filename + ".multi_kmer.bin"
             bpc = 1 if args.counter_size <= 8 else 2
             n = formats.write_multiple_kmer_dump(
                 out, k, keys[order], counts[order], bytes_per_count=bpc)
             print(f"dumped {n} multiple kmers to {out}")
         else:
-            sel = counts == 1
-            uk = keys[sel]
-            frn = np.array([first[kk][0] for kk in uk.tolist()], dtype=np.uint32)
-            fps = np.array([first[kk][1] for kk in uk.tolist()], dtype=np.uint32)
-            o = np.lexsort((fps, frn))
+            keys, counts, frn, fps = exact.table_finalize(table, 1, 1)
+            order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
+                               | fps, kind="stable")
             out = args.filename + ".once_kmer.bin"
-            formats.write_unique_kmer_dump(out, k, uk[o], frn[o], fps[o])
-            print(f"dumped {len(uk)} unique kmers to {out}")
+            formats.write_unique_kmer_dump(out, k, keys[order], frn[order],
+                                           fps[order])
+            print(f"dumped {len(keys)} unique kmers to {out}")
     else:
         for batch, idx in fastx.read_batches(args.filename,
                                              batch_reads=args.batch_reads,
