@@ -154,7 +154,7 @@ def anchor_computation(fasta_path: str, params: AnchorsGeneratorParameters,
     for batch, idx in fastx.read_batches(fasta_path, bucket=False):
         anchors = compute_anchors(batch, params, read_num_offset=offset)
         all_anchors.extend(anchors)
-        offset += batch.n_reads
+        offset += len(idx)  # real reads only (batch may be shape-padded)
     if store is not None:
         store.dump_anchors(params, all_anchors)
     return all_anchors

@@ -79,7 +79,7 @@ def main(argv=None):
             keys, counts, coord = inputs_fn(batch, k=k,
                                             read_num_offset=offset)
             table = exact.table_update(table, keys, counts, coord)
-            offset += batch.n_reads
+            offset += len(idx)  # real reads only (batch may be shape-padded)
         dropped = int(np.asarray(table.n_dropped))
         if dropped:
             print(f"WARNING: table capacity {args.capacity} exceeded; "

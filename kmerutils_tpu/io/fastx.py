@@ -120,14 +120,21 @@ def iter_clean_reads(path: str, stats: IngestStats | None = None,
 def read_batches(path: str, batch_reads: int = 10000,
                  max_len: int | None = None,
                  stats: IngestStats | None = None,
-                 bucket: bool = True):
-    """Yield ReadBatch objects of at most ``batch_reads`` reads each.
+                 bucket: bool = True,
+                 quantize: bool = True):
+    """Yield (ReadBatch, read_indices) of at most ``batch_reads`` reads each.
 
     max_len: clip/segment longer reads is NOT done here — a longer read forces
     a larger batch width.  With ``bucket=True`` reads inside a parse window
     are sorted by length before batching (greedy padding reduction, the role
-    of groups.rs:9-67), preserving per-batch read numbering offsets returned
-    alongside each batch as (batch, read_indices).
+    of groups.rs:9-67); ``read_indices`` maps batch rows to original read
+    numbers.
+
+    ``quantize=True`` pads the batch width up to the next power of two (>=256
+    bases) and the read count up to ``batch_reads`` (zero-length padding rows
+    carry no valid positions and no index entries), so batch SHAPES recur
+    across a file and across files — every distinct shape costs a full XLA
+    compile, which dominates wall time otherwise.
     """
     window: list[np.ndarray] = []
     indices: list[int] = []
@@ -143,8 +150,12 @@ def read_batches(path: str, batch_reads: int = 10000,
             sel = order[start : start + batch_reads]
             group = [window[i] for i in sel]
             L = max(c.size for c in group)
-            codes = np.zeros((len(group), L), dtype=np.uint8)
-            lengths = np.zeros(len(group), dtype=np.int32)
+            n = len(group)
+            if quantize:
+                L = max(256, 1 << (L - 1).bit_length())
+                n = batch_reads
+            codes = np.zeros((n, L), dtype=np.uint8)
+            lengths = np.zeros(n, dtype=np.int32)
             for i, c in enumerate(group):
                 codes[i, : c.size] = c
                 lengths[i] = c.size

@@ -72,6 +72,8 @@ def flatten_for_dump(res: BlockSketchResult, read_indices=None):
     (the reference's Sig=u32 block sketch)."""
     out = []
     n, nb, m = res.sigs.shape
+    if read_indices is not None:
+        n = min(n, len(read_indices))  # rows beyond are batch shape-padding
     for i in range(n):
         numseq = int(read_indices[i]) if read_indices is not None else i
         blocks = [res.sigs[i, j].astype(np.uint32)

@@ -47,6 +47,10 @@ class ReadBaseDistribution:
     def record_batch(self, batch: ReadBatch) -> None:
         counts = np.asarray(alphabet.base_counts(batch.codes(), batch.valid_mask()))
         lengths = np.asarray(batch.lengths)
+        real = lengths > 0            # zero-length rows are batch padding
+        counts, lengths = counts[real], lengths[real]
+        if lengths.size == 0:
+            return
         self.n_reads += len(lengths)
         # length histogram
         lmax = int(lengths.max(initial=0))
