@@ -38,23 +38,23 @@ U64 = jnp.uint64
 
 def _bucketize_by_shard(keys, shard_ids, n_shards: int, cap: int):
     """Arrange a device's kmers into [n_shards, cap] send buckets (sentinel
-    padded).  Overflowing keys are dropped and counted."""
-    N = keys.shape[0]
-    order = jnp.argsort(shard_ids, stable=True)
-    sk = keys[order]
-    ss = shard_ids[order]
-    # rank within shard = position - first position of that shard
-    shard_counts = jax.ops.segment_sum(
-        jnp.ones_like(ss), ss, num_segments=n_shards)
-    shard_starts = jnp.concatenate(
-        [jnp.zeros(1, shard_counts.dtype), jnp.cumsum(shard_counts)[:-1]])
-    rank = jnp.arange(N) - shard_starts[ss]
-    ok = rank < cap
-    dropped = (~ok & (sk != SENTINEL64)).sum()
-    flat_idx = jnp.where(ok, ss * cap + rank, n_shards * cap)
-    buckets = jnp.full(n_shards * cap + 1, SENTINEL64, U64).at[flat_idx].set(
-        jnp.where(ok, sk, SENTINEL64), mode="drop")
-    return buckets[: n_shards * cap].reshape(n_shards, cap), dropped
+    padded).  Overflowing keys are dropped and counted.
+
+    Sort by shard id (keys ride along), locate shard boundaries with a tiny
+    searchsorted, and GATHER each bucket's slots — no scatter/segment-sum.
+    Sentinel keys must carry shard id >= n_shards so they sort past every
+    real shard.
+    """
+    ss, sk = jax.lax.sort((jnp.asarray(shard_ids, jnp.int32), keys),
+                          num_keys=1, is_stable=True)
+    starts = jnp.searchsorted(ss, jnp.arange(n_shards + 1, dtype=jnp.int32))
+    counts = starts[1:] - starts[:-1]
+    dropped = jnp.maximum(counts - cap, 0).sum()
+    r = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts[:-1, None] + r, ss.shape[0] - 1)
+    live = r < counts[:, None]
+    buckets = jnp.where(live, sk[idx], SENTINEL64)
+    return buckets, dropped
 
 
 def sharded_count(batch: ReadBatch, k: int, mesh: Mesh, shard_cap_factor: float = 1.5):
@@ -76,7 +76,9 @@ def sharded_count(batch: ReadBatch, k: int, mesh: Mesh, shard_cap_factor: float 
         keys = jnp.where(valid, can.astype(U64), SENTINEL64).ravel()
         sid = dispatch.dispatch(
             jnp.where(keys == SENTINEL64, U64(0), keys), n_dev, k)
-        sid = jnp.where(keys == SENTINEL64, n_dev - 1, sid)
+        # sentinels carry an out-of-range shard id so they sort past every
+        # real shard and never consume bucket capacity
+        sid = jnp.where(keys == SENTINEL64, n_dev, sid)
         buckets, dropped = _bucketize_by_shard(keys, sid, n_dev, cap)
         # all_to_all: send bucket row j to device j
         recv = jax.lax.all_to_all(buckets[None], READS_AXIS, split_axis=1,
