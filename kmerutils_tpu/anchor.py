@@ -144,6 +144,30 @@ class AnchorStore:
         return SliceAnchor.from_value_string(readnum, slicepos, v)
 
 
+class RedisAnchorStore(AnchorStore):
+    """AnchorStore backed by a live redis connection (the reference's
+    redis_dump target, anchor.rs:166-203 + redisbase.rs), used when the
+    ``redis`` package is importable and a server is reachable.  Also issues
+    BGREWRITEAOF after a bulk dump like anchor_computation (anchor.rs:460-467).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 6379, db: int = 0):
+        import redis  # optional dependency; raises ImportError if absent
+        super().__init__()
+        self._r = redis.Redis(host=host, port=port, db=db)
+
+    def hset(self, key: str, field: str, value: str):
+        super().hset(key, field, value)
+        self._r.hset(key, field, value)
+
+    def dump_anchors(self, params, anchors, process: str = "anchor"):
+        super().dump_anchors(params, anchors, process)
+        try:
+            self._r.bgrewriteaof()
+        except Exception:
+            pass  # AOF disabled server-side is fine
+
+
 def anchor_computation(fasta_path: str, params: AnchorsGeneratorParameters,
                        store: AnchorStore | None = None):
     """Whole-file driver (FastaAnchors::anchor_computation, anchor.rs:398-467):

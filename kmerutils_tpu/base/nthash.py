@@ -105,6 +105,18 @@ def multi_hash(h0, k: int, nb_hash: int):
     return jnp.concatenate([h0[..., None], tmp], axis=-1)
 
 
+def nthash_kmers_ascii(reads, k: int):
+    """ntHash over raw ASCII reads — the reference's 8-bit free-function
+    family (nthash_init_8b / cycle / canonical, nthash.rs:153-287).
+
+    The 8-bit seed table BASE_MAPPING_8B maps ASCII A/C/G/T to the SAME four
+    seeds as the 2-bit table (nthash.rs:28-57), so hashing the 2-bit packed
+    form yields bit-identical values; this wrapper just packs and delegates.
+    """
+    from .sequence import pack_ascii_reads
+    return nthash_kmers(pack_ascii_reads(reads), k)
+
+
 # ---------------------------------------------------------------------------
 # scalar golden-model (host) used by tests — direct transcription of the
 # mathematical definition (getFhval/getRhval, nthash.rs:153-228)

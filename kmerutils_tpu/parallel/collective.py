@@ -95,6 +95,34 @@ def sharded_count(batch: ReadBatch, k: int, mesh: Mesh, shard_cap_factor: float 
     return fn(batch.words, batch.lengths)
 
 
+def sharded_count_redundant(batch: ReadBatch, k: int, mesh: Mesh):
+    """Redundant-compute sharding: every device scans the FULL (replicated)
+    batch and keeps only the kmers whose invhash shard is its own — zero
+    communication, compute traded for bandwidth.
+
+    Twin of count_kmer_thread_independant (kmercount.rs:797-867), the
+    reference's fallback strategy.  Returns per-device-sharded (keys, counts,
+    n_distinct, n_unique) like :func:`sharded_count`.
+    """
+    n_dev = mesh.shape[READS_AXIS]
+
+    def step(words, lengths):
+        local = ReadBatch(words=words, lengths=lengths)
+        can, valid, _ = kmer_mod.canonical_kmers(local, k)
+        keys = jnp.where(valid, can.astype(U64), SENTINEL64).ravel()
+        sid = dispatch.dispatch(
+            jnp.where(keys == SENTINEL64, U64(0), keys), n_dev, k)
+        mine = jax.lax.axis_index(READS_AXIS)
+        keys = jnp.where((sid == mine) & (keys != SENTINEL64), keys, SENTINEL64)
+        kc = exact.count_from_values(keys)
+        return (kc.keys[None], kc.counts[None],
+                kc.n_distinct[None], kc.n_unique[None])
+
+    fn = shard_map(step, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(READS_AXIS),) * 4)
+    return fn(batch.words, batch.lengths)
+
+
 def sharded_setsketch_collection(items, valid, params, mesh: Mesh, seed: int = 0):
     """One SetSketch for the whole sharded collection: per-device registers
     merged with pmax over ICI (the TPU form of the reference's block-merge

@@ -91,3 +91,21 @@ class TestShardedSketch:
         sigs = np.asarray(fn(jnp.asarray(items), jnp.asarray(valid)))
         ref = np.asarray(superminhash.superminhash2(items, valid, 64)[0])
         assert (sigs == ref).all()
+
+
+class TestRedundantShardedCount:
+    def test_matches_oracle(self, rng, mesh8):
+        reads = ["".join(rng.choice(list("ACGT"), size=180)) for _ in range(12)]
+        reads += reads[:4]
+        batch = pack_ascii_reads(reads)
+        k = 9
+        keys, counts, nd, nu = collective.sharded_count_redundant(batch, k, mesh8)
+        keys, counts = np.asarray(keys), np.asarray(counts)
+        got = {}
+        for d in range(keys.shape[0]):
+            live = counts[d] > 0
+            assert live.sum() == int(np.asarray(nd)[d])
+            for kk, cc in zip(keys[d][live], counts[d][live]):
+                assert kk not in got
+                got[int(kk)] = int(cc)
+        assert got == dict(oracle_counts(reads, k))
