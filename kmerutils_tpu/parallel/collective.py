@@ -156,6 +156,81 @@ def sharded_bloom_insert(slots, keys, nb_hash: int, log2_slots: int, mesh: Mesh)
     return fn(slots, keys)
 
 
+def sharded_table_create(capacity_per_device: int, mesh: Mesh):
+    """Per-device streaming count tables, kmer-space sharded: device d's
+    table only ever holds kmers whose invhash shard is d (disjoint, like the
+    reference's counter pool).  Returns a table pytree with leading axis
+    n_devices, sharded over the mesh."""
+    n_dev = mesh.shape[READS_AXIS]
+    table = exact.DeviceCountTable.create(capacity_per_device)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape), table)
+    sh = jax.sharding.NamedSharding(mesh, P(READS_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+
+
+def sharded_table_update(table, batch: ReadBatch, k: int, mesh: Mesh,
+                         read_num_offset: int = 0,
+                         shard_cap_factor: float = 1.5):
+    """One streaming step of multi-device counting: reads data-parallel,
+    kmers + first-occurrence coords routed to their shard's device over ICI
+    (all_to_all), folded into that device's DeviceCountTable.
+
+    The multi-chip production form of `parsefastq kmer --count`: state stays
+    in sharded HBM across the whole file; results transfer to host once.
+    Returns (updated table, per-device dropped-in-transit count).
+    """
+    n_dev = mesh.shape[READS_AXIS]
+    n, Pn = batch.n_reads, max(batch.max_len - k + 1, 1)
+    local_slots = (n // n_dev) * Pn
+    cap = int(local_slots / n_dev * shard_cap_factor) + 64
+
+    def step(tab, words, lengths):
+        local = ReadBatch(words=words, lengths=lengths)
+        dev = jax.lax.axis_index(READS_AXIS)
+        n_local = words.shape[0]
+        offset = read_num_offset + dev * n_local
+        keys, counts, coord = exact.batch_table_inputs(local, k, offset)
+        # each distinct key appears once per source device (local count +
+        # local first coord); the owning device's table_update merges the
+        # <= n_dev arriving records per key (sums counts, min coord)
+        sid = dispatch.dispatch(
+            jnp.where(keys == SENTINEL64, U64(0), keys), n_dev, k)
+        sid = jnp.where(keys == SENTINEL64, n_dev, sid)
+        kb, dropped_k = _bucketize_by_shard(keys, sid, n_dev, cap)
+        cb, _ = _bucketize_by_shard(
+            jnp.where(keys == SENTINEL64, U64(0), counts.astype(U64)),
+            sid, n_dev, cap)
+        ob, _ = _bucketize_by_shard(coord, sid, n_dev, cap)
+        rk = jax.lax.all_to_all(kb[None], READS_AXIS, 1, 1, tiled=False)[0]
+        rc = jax.lax.all_to_all(cb[None], READS_AXIS, 1, 1, tiled=False)[0]
+        ro = jax.lax.all_to_all(ob[None], READS_AXIS, 1, 1, tiled=False)[0]
+        mine_k = rk.reshape(-1)
+        mine_c = jnp.where(mine_k == SENTINEL64, 0, rc.reshape(-1)).astype(
+            jnp.int64)
+        mine_o = jnp.where(mine_k == SENTINEL64, SENTINEL64, ro.reshape(-1))
+        local_tab = jax.tree_util.tree_map(lambda x: x[0], tab)
+        new_tab = exact.table_update(local_tab, mine_k, mine_c, mine_o)
+        new_tab = jax.tree_util.tree_map(lambda x: x[None], new_tab)
+        return new_tab, dropped_k[None]
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+                   out_specs=(P(READS_AXIS), P(READS_AXIS)))
+    return fn(table, batch.words, batch.lengths)
+
+
+def gather_signatures(sigs, mesh: Mesh):
+    """All-gather per-device signature blocks so every device (and the host)
+    sees the full signature matrix — the collection step before ANN export
+    (SURVEY.md §7 step 7)."""
+    def step(s):
+        return jax.lax.all_gather(s, READS_AXIS, axis=0, tiled=True)
+
+    fn = shard_map(step, mesh=mesh, in_specs=P(READS_AXIS), out_specs=P())
+    return fn(sigs)
+
+
 def data_parallel_sketch(sketch_fn, mesh: Mesh):
     """Wrap a per-batch sketch function (items, valid) -> sigs as a
     reads-data-parallel shard_map (the rayon par_iter role — zero comms)."""

@@ -109,3 +109,44 @@ class TestRedundantShardedCount:
                 assert kk not in got
                 got[int(kk)] = int(cc)
         assert got == dict(oracle_counts(reads, k))
+
+
+class TestShardedStreamingTable:
+    def test_two_batches_match_oracle(self, rng, mesh8):
+        from kmerutils_tpu.base import kmer as kmer_mod
+        k = 9
+        all_reads = []
+        table = collective.sharded_table_create(2048, mesh8)
+        offset = 0
+        for b in range(2):
+            reads = ["".join(rng.choice(list("ACGT"), size=160))
+                     for _ in range(16)]
+            if b == 1:
+                reads[:4] = all_reads[:4]  # cross-batch duplicates
+            all_reads.extend(reads)
+            batch = pack_ascii_reads(reads)
+            table, dropped = collective.sharded_table_update(
+                table, batch, k, mesh8, read_num_offset=offset)
+            assert int(np.asarray(dropped).sum()) == 0
+            offset += len(reads)
+        keys = np.asarray(table.keys)
+        counts = np.asarray(table.counts)
+        coord = np.asarray(table.coord)
+        got, got_first = {}, {}
+        for d in range(8):
+            live = counts[d] > 0
+            for kk, cc, oo in zip(keys[d][live], counts[d][live],
+                                  coord[d][live]):
+                assert kk not in got  # shard-disjoint
+                got[int(kk)] = int(cc)
+                got_first[int(kk)] = (int(oo) >> 32, int(oo) & 0xFFFFFFFF)
+        want = oracle_counts(all_reads, k)
+        assert got == dict(want)
+        first = {}
+        for r, s in enumerate(all_reads):
+            for p in range(len(s) - k + 1):
+                sub = s[p : p + k]
+                can = min(kmer_mod.kmer_value_from_str(sub),
+                          kmer_mod.kmer_value_from_str(revcomp_str(sub)))
+                first.setdefault(can, (r, p))
+        assert got_first == first
