@@ -227,7 +227,10 @@ def gather_signatures(sigs, mesh: Mesh):
     def step(s):
         return jax.lax.all_gather(s, READS_AXIS, axis=0, tiled=True)
 
-    fn = shard_map(step, mesh=mesh, in_specs=P(READS_AXIS), out_specs=P())
+    # all_gather makes every device's output identical; shard_map cannot
+    # infer that statically, so replication checking is disabled here
+    fn = shard_map(step, mesh=mesh, in_specs=P(READS_AXIS), out_specs=P(),
+                   check_rep=False)
     return fn(sigs)
 
 
