@@ -131,11 +131,16 @@ def read_batches(path: str, batch_reads: int = 10000,
     numbers.
 
     ``quantize=True`` pads the batch width up to the next power of two (>=256
-    bases) and the read count up to ``batch_reads`` (zero-length padding rows
-    carry no valid positions and no index entries), so batch SHAPES recur
-    across a file and across files — every distinct shape costs a full XLA
-    compile, which dominates wall time otherwise.
+    bases) and the read count up to the batch's row quota (zero-length
+    padding rows carry no valid positions and no index entries), so batch
+    SHAPES recur across a file and across files — every distinct shape costs
+    a full XLA compile, which dominates wall time otherwise.
+
+    ``max_batch_bases`` caps the PADDED base capacity (rows x width) of one
+    batch, so ultra-long reads (ONT 100kb+) automatically get fewer rows per
+    batch instead of exploding host/device memory.
     """
+    max_batch_bases = batch_reads * 8192  # ~80 Mbases padded at defaults
     window: list[np.ndarray] = []
     indices: list[int] = []
     next_index = 0
@@ -146,20 +151,37 @@ def read_batches(path: str, batch_reads: int = 10000,
             return
         order = np.argsort([c.size for c in window], kind="stable") if bucket \
             else np.arange(len(window))
-        for start in range(0, len(window), batch_reads):
-            sel = order[start : start + batch_reads]
+        start = 0
+        while start < len(window):
+            # rows allowed at this group's width (bucketed: widths ascend)
+            L0 = max(window[i].size for i in order[start : start + 1])
+            take = 1
+            while take < batch_reads and start + take < len(window):
+                Lc = max(L0, window[order[start + take]].size)
+                Lq = max(256, 1 << (Lc - 1).bit_length()) if quantize else Lc
+                if (take + 1) * Lq > max_batch_bases:
+                    break
+                take += 1
+                L0 = Lc
+            sel = order[start : start + take]
             group = [window[i] for i in sel]
             L = max(c.size for c in group)
             n = len(group)
             if quantize:
                 L = max(256, 1 << (L - 1).bit_length())
-                n = batch_reads
+                # row quota for this width, a power of two for shape reuse
+                quota = max(1, min(batch_reads, max_batch_bases // L))
+                n = 1 << (quota - 1).bit_length()
+                if n > quota:
+                    n >>= 1
+                n = max(n, len(group))
             codes = np.zeros((n, L), dtype=np.uint8)
             lengths = np.zeros(n, dtype=np.int32)
             for i, c in enumerate(group):
                 codes[i, : c.size] = c
                 lengths[i] = c.size
             yield pack_codes(codes, lengths), np.array([indices[i] for i in sel])
+            start += take
         window, indices = [], []
 
     window_cap = batch_reads * 4
