@@ -5,7 +5,7 @@ ProbMinHash signatures): for every read r and sketch slot s,
 
     sig[r, s] = argmin over positions p of  E(p, s) = -ln(U(item_p, s)) / w_p
 
-with ties broken by the larger item value (keeping the sampler a pure
+with ties broken by the smaller item value (keeping the sampler a pure
 function of the weighted item multiset — see sketch/probminhash.py).
 
 Kernel layout: one grid step per read.  Slots map to SUBLANES in groups of
@@ -48,37 +48,45 @@ def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref):
     for sg in range(n_sg):  # static unroll: slot groups
         sc = slotc_ref[pl.ds(sg * SUB, SUB), :]                    # [8, 1]
 
+        # Comparisons run on e' = ln(u) * winv = -E (u in (0,1] so e' <= 0);
+        # maximising e' minimises E, and the negation costs nothing.  Invalid
+        # positions carry winv = NaN: every NaN comparison is false, so they
+        # can never be selected — no where() per pair.
+        #
         # fully unrolled position chunks: accumulators live in vector
         # registers for the whole sweep (a fori_loop carry would round-trip
         # them through VMEM every iteration — measured 4x slower)
-        best_e = jnp.full((SUB, LANES), BIG, F32)
-        best_i = jnp.zeros((SUB, LANES), U32)
+        best_e = jnp.full((SUB, LANES), -BIG, F32)
+        best_i = jnp.full((SUB, LANES), U32(0xFFFFFFFF), U32)
         for c in range(n_chunks):
             it = items_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)]  # [1, L]
             wv = winv_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)]
             itb = jnp.broadcast_to(it, (SUB, LANES))
-            # murmur-style 2-multiply mix (matches probminhash._hash32)
+            # xorshift-multiply mix (matches probminhash._hash32); the draw
+            # only consumes the top 24 bits, which are fully avalanched after
+            # the second multiply — no final xorshift needed
             h = itb ^ jnp.broadcast_to(sc, (SUB, LANES))
             h = h * U32(0x9E3779B1)
             h = h ^ (h >> U32(15))
             h = h * U32(0x85EBCA77)
-            h = h ^ (h >> U32(13))
             # Mosaic lacks u32->f32; the top-24-bit value fits i32 exactly,
-            # so bitcast to i32 before the int->float convert
+            # so bitcast to i32 before the int->float convert.
+            # u = (h24 + 1) * 2^-24 as a single fma (exact: h24+1 <= 2^24)
             u = (pltpu.bitcast(h >> U32(8), jnp.int32).astype(F32)
-                 + F32(1.0)) * F32(2.0**-24)
-            e = jnp.abs(-jnp.log(u)) * jnp.broadcast_to(wv, (SUB, LANES))
-            e = jnp.where(jnp.broadcast_to(wv, (SUB, LANES)) > F32(0.0),
-                          e, BIG)
-            upd = (e < best_e) | ((e == best_e) & (itb > best_i))
+                 * F32(2.0**-24) + F32(2.0**-24))
+            e = jnp.log(u) * jnp.broadcast_to(wv, (SUB, LANES))
+            # tie rule: equal draw -> smallest item (pure function of the
+            # weighted item multiset; mirrored by the XLA path's ~item key)
+            upd = (e > best_e) | ((e == best_e) & (itb < best_i))
             best_e = jnp.where(upd, e, best_e)
             best_i = jnp.where(upd, itb, best_i)
-        # cross-lane reduce: min E, ties -> max item.  Mosaic has no unsigned
-        # reductions: flip the sign bit and max over i32 (order-preserving).
-        e_min = jnp.min(best_e, axis=1, keepdims=True)             # [8, 1]
-        eq = best_e == e_min
-        cand = jnp.where(eq, best_i, U32(0)) ^ U32(0x80000000)
-        win_i = jnp.max(pltpu.bitcast(cand, jnp.int32), axis=1,
+        # cross-lane reduce: max e' (= min E), ties -> min item.  Mosaic has
+        # no unsigned reductions: flip the sign bit and min over i32
+        # (order-preserving).
+        e_best = jnp.max(best_e, axis=1, keepdims=True)            # [8, 1]
+        eq = best_e == e_best
+        cand = jnp.where(eq, best_i, U32(0xFFFFFFFF)) ^ U32(0x80000000)
+        win_i = jnp.min(pltpu.bitcast(cand, jnp.int32), axis=1,
                         keepdims=True)                             # [8, 1]
         win = pltpu.bitcast(win_i, U32) ^ U32(0x80000000)
         out_ref[0, pl.ds(sg * SUB, SUB), 0] = win[:, 0]
@@ -90,16 +98,21 @@ def weighted_tournament(items32, winv, m: int, seed: int = 0,
     """sig u32[n, m] — items32 u32[n, P], winv f32[n, P] (<= 0 marks invalid).
 
     m is padded to a multiple of 8 internally; P to a multiple of 512.
-    Rows with no valid position return 0s (mask with your own empty flag).
+    Rows with no valid position return garbage (mask with your own empty
+    flag — probminhash._tournament does).
     """
     items32 = jnp.asarray(items32, U32)
     winv = jnp.asarray(winv, F32)
     n, P = items32.shape
     m_pad = -(-m // SUB) * SUB
     p_pad = -(-P // LANES) * LANES
+    # invalid positions (winv <= 0) become NaN: inside the kernel every
+    # comparison against NaN is false, so they never win a slot
+    winv = jnp.where(winv > F32(0.0), winv, jnp.float32(np.nan))
     if p_pad != P:
         items32 = jnp.pad(items32, ((0, 0), (0, p_pad - P)))
-        winv = jnp.pad(winv, ((0, 0), (0, p_pad - P)))  # pad winv=0 -> invalid
+        winv = jnp.pad(winv, ((0, 0), (0, p_pad - P)),
+                       constant_values=np.nan)
 
     from ..sketch.probminhash import _slot_consts
     slotc = _slot_consts(m_pad, seed).reshape(m_pad, 1)

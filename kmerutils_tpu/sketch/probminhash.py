@@ -68,19 +68,22 @@ def _fold32(items):
 
 
 def _hash32(items32, slotc):
-    """H(x, s) uint32 — murmur-style 2-multiply mix, ~9 VPU ops."""
+    """H(x, s) uint32 — xorshift-multiply mix; only the top 24 bits feed the
+    draw and they are fully avalanched after the second multiply."""
     c = U32
     h = items32[..., None] ^ slotc
     h = h * c(0x9E3779B1)
     h = h ^ (h >> c(15))
     h = h * c(0x85EBCA77)
-    h = h ^ (h >> c(13))
     return h
 
 
 def _neg_log_u24(h_u32):
-    """-ln(uniform(0,1]) from the top 24 bits of a u32 hash, f32."""
-    u = ((jnp.asarray(h_u32, U32) >> U32(8)).astype(F32) + F32(1.0)) * F32(2.0**-24)
+    """-ln(uniform(0,1]) from the top 24 bits of a u32 hash, f32.
+
+    u = (h24 + 1) * 2^-24 computed as one fma (exact: h24 + 1 <= 2^24)."""
+    u = ((jnp.asarray(h_u32, U32) >> U32(8)).astype(F32) * F32(2.0**-24)
+         + F32(2.0**-24))
     return -jnp.log(u)
 
 
@@ -92,9 +95,12 @@ def _tournament(items, winv, valid, m: int, seed: int):
 
     One fused max-reduction over a packed 64-bit key per (position, slot):
     high 32 bits order by the exponential draw (~bits(E) — IEEE f32 patterns
-    of positive floats are monotone), low 32 bits carry the item (tie-break
-    by item value keeps the sampler a pure function of the weighted item
-    set) or the position index for u64 items (recovered by one gather).
+    of positive floats are monotone), low 32 bits carry the COMPLEMENT of
+    the item (ties resolve to the smallest item, keeping the sampler a pure
+    function of the weighted item set — matching the Pallas kernel) or of
+    the position index for u64 items (recovered by one gather; ties resolve
+    to the first position, which on the sorted rows of
+    probminhash_from_items is again the smallest item).
     """
     items = jnp.asarray(items)
     wide = items.dtype == jnp.uint64
@@ -118,18 +124,18 @@ def _tournament(items, winv, valid, m: int, seed: int):
     ebits = ~jax.lax.bitcast_convert_type(E, U32)              # max ~bits == min E
     if wide:
         n, P = items.shape
-        payload = jnp.arange(P, dtype=U32)[None, :, None]      # position idx
+        payload = ~jnp.arange(P, dtype=U32)[None, :, None]     # ~position idx
     else:
-        payload = it32[..., None]
+        payload = ~it32[..., None]
     key = (ebits.astype(U64) << U64(32)) | payload.astype(U64)
     key = jnp.where(valid[..., None], key, U64(0))             # losers
     best = jnp.max(key, axis=1)                                # [n, m]
 
     if wide:
-        idx = (best & U64(0xFFFFFFFF)).astype(I32)
+        idx = (~(best & U64(0xFFFFFFFF)).astype(U32)).astype(I32)
         sig = jnp.take_along_axis(items, idx, axis=1)
     else:
-        sig = (best & U64(0xFFFFFFFF)).astype(U32)
+        sig = ~(best & U64(0xFFFFFFFF)).astype(U32)
     return jnp.where(empty[:, None], jnp.zeros((), items.dtype), sig), empty
 
 
