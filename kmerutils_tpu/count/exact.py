@@ -36,14 +36,23 @@ U64 = jnp.uint64
 SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def sentinel_of(dtype):
+    """All-ones padding key for a uint dtype.  Safe for canonical kmer
+    values: an all-T kmer is never canonical (its reverse complement is
+    all-A = 0), so the max value never occurs as a live key."""
+    return np.array(np.iinfo(np.dtype(dtype)).max, np.dtype(dtype))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KmerCounts:
     """Sorted distinct kmers with exact counts (padded, static shape).
 
-    keys:     uint64[N] — each distinct canonical kmer value appears ONCE, at
+    keys:     uint32/uint64[N] (the kmer dtype: 32-bit lanes for k <= 16 —
+              flat u32 sorts measure ~1.3x faster than u64) — each distinct
+              canonical kmer value appears ONCE, at
               its run-start position in the sorted order; every other slot
-              (duplicates, padding) holds SENTINEL64.  Live keys are therefore
+              (duplicates, padding) holds sentinel_of(dtype).  Live keys are therefore
               ascending but NOT compacted to the front — compaction would
               cost a 6M-element scatter/gather per batch, and every consumer
               (host dumps, weighted sketching) filters by ``counts > 0``
@@ -60,9 +69,9 @@ class KmerCounts:
 
 
 def _flatten_valid(kmers, valid):
-    flat = jnp.ravel(kmers).astype(U64)
+    flat = jnp.ravel(kmers)          # keep the kmer dtype (u32 for k <= 16)
     v = jnp.ravel(valid)
-    return jnp.where(v, flat, SENTINEL64)
+    return jnp.where(v, flat, sentinel_of(flat.dtype))
 
 
 def _run_lengths_1d(s, is_real):
@@ -78,16 +87,18 @@ def _run_lengths_1d(s, is_real):
     return new_run, next_start - start
 
 
-def count_from_values(values_u64):
-    """Exact counts of a 1-D uint64 key array (SENTINEL64 = ignore).
+def count_from_values(values):
+    """Exact counts of a 1-D uint key array (all-ones sentinel = ignore).
 
-    Returns a :class:`KmerCounts` whose arrays have the input length
-    (run-start-aligned — see the class docstring).
+    Returns a :class:`KmerCounts` whose arrays have the input length and
+    key dtype (run-start-aligned — see the class docstring).
     """
-    s = jnp.sort(values_u64)
-    is_real = s != SENTINEL64
+    values = jnp.asarray(values)
+    sent = sentinel_of(values.dtype)
+    s = jnp.sort(values)
+    is_real = s != sent
     new_run, run_len = _run_lengths_1d(s, is_real)
-    keys = jnp.where(new_run, s, SENTINEL64)
+    keys = jnp.where(new_run, s, sent)
     counts = jnp.where(new_run, run_len, 0)
     n_distinct = new_run.sum().astype(jnp.int32)
     n_unique = (new_run & (run_len == 1)).sum().astype(jnp.int32)
@@ -116,10 +127,10 @@ def count_batch_detailed(batch: ReadBatch, k: int, read_num_offset: int = 0):
     """Exact counts plus the FIRST-OCCURRENCE coordinate of every distinct
     canonical kmer (generation order: read-major, position-minor).
 
-    Returns (keys u64[N], counts i32[N], first_read u32[N], first_pos u32[N],
-    n_distinct), run-start-aligned like :class:`KmerCounts` (live slots are
-    exactly those with counts > 0, in ascending key order; padding keys are
-    SENTINEL64).
+    Returns (keys u32/u64[N], counts i32[N], first_read u32[N],
+    first_pos u32[N], n_distinct), run-start-aligned like
+    :class:`KmerCounts` (live slots are exactly those with counts > 0, in
+    ascending key order; padding keys are the dtype's all-ones sentinel).
 
     The first-occurrence coordinates reproduce the reference's dump ordering
     (its dumps regenerate kmers in scan order and emit each on first sight,
@@ -128,17 +139,18 @@ def count_batch_detailed(batch: ReadBatch, k: int, read_num_offset: int = 0):
     """
     can, valid, _ = kmer_mod.canonical_kmers(batch, k)
     keys = _flatten_valid(can, valid)
+    sent = sentinel_of(keys.dtype)
     n = keys.shape[0]
     P = can.shape[1]
     # variadic stable sort carries the flat index along with the key;
     # (read, pos) fall out of the index arithmetically — no gathers
     idx = jnp.arange(n, dtype=jnp.int32)
     s, perm = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
-    is_real = s != SENTINEL64
+    is_real = s != sent
     new_run, run_len = _run_lengths_1d(s, is_real)
     rn = (perm // P).astype(U32) + U32(read_num_offset)
     ps = (perm % P).astype(U32)
-    out_keys = jnp.where(new_run, s, SENTINEL64)
+    out_keys = jnp.where(new_run, s, sent)
     out_counts = jnp.where(new_run, run_len, 0)
     out_rn = jnp.where(new_run, rn, 0)
     out_ps = jnp.where(new_run, ps, 0)
@@ -150,14 +162,14 @@ def unique_kmer_coords(batch: ReadBatch, k: int, read_num_offset: int = 0):
     """Unique (count==1) canonical kmers with their coordinates.
 
     Twin of KmerFilter1 + its coordinate dump (kmercount.rs:985-1123): returns
-    (keys u64[N], read_num u32[N], pos u32[N], n_unique), run-start-aligned
-    (live slots have key != SENTINEL64, ascending).  The coordinate reported
-    for a unique kmer is its single occurrence.
+    (keys u32/u64[N], read_num u32[N], pos u32[N], n_unique), run-start-
+    aligned (live slots have key != sentinel, ascending).  The coordinate
+    reported for a unique kmer is its single occurrence.
     """
     keys, counts, rn, ps, n_distinct = count_batch_detailed(
         batch, k, read_num_offset)
     is_unique = counts == 1
-    out_keys = jnp.where(is_unique, keys, SENTINEL64)
+    out_keys = jnp.where(is_unique, keys, sentinel_of(keys.dtype))
     out_rn = jnp.where(is_unique, rn, 0)
     out_ps = jnp.where(is_unique, ps, 0)
     return out_keys, out_rn, out_ps, is_unique.sum().astype(jnp.int32)
@@ -173,13 +185,16 @@ def multiplicity_from_values(values, valid):
     """
     can = jnp.asarray(values)
     n, P = can.shape
-    keys = jnp.where(valid, can.astype(U64), SENTINEL64)
-    # argsort once; run lengths in sorted order come from two associative
-    # scans (run start via cummax, next-run start via reverse cummin) — no
-    # segment-sum; one inverse gather maps the counts back to original slots
-    order = jnp.argsort(keys, axis=1)
-    s = jnp.take_along_axis(keys, order, axis=1)
-    is_real = s != SENTINEL64
+    keys = jnp.where(valid, can, sentinel_of(can.dtype))
+    sent = sentinel_of(can.dtype)
+    # one variadic sort carries the slot index along with the key (argsort +
+    # take_along_axis would re-gather the keys — gathers measure ~10x the
+    # sort cost at this size); run lengths in sorted order come from two
+    # associative scans (run start via cummax, next-run start via reverse
+    # cummin) — no segment-sum
+    idx0 = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (n, P))
+    s, order = jax.lax.sort((keys, idx0), dimension=1, num_keys=1)
+    is_real = s != sent
     new_run = jnp.concatenate(
         [jnp.ones((n, 1), bool), s[:, 1:] != s[:, :-1]], axis=1) & is_real
     idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (n, P))
@@ -277,7 +292,10 @@ def batch_table_inputs(batch: ReadBatch, k: int, read_num_offset):
     live = counts > 0
     coord = ((rn.astype(U64) + jnp.asarray(read_num_offset, U64)) << U64(32)
              ) | ps.astype(U64)
-    return keys, counts, jnp.where(live, coord, SENTINEL64)
+    # the table is u64-keyed; re-mark dead slots with the 64-bit sentinel
+    # (a u32 batch sentinel widens to 0x00000000FFFFFFFF otherwise)
+    keys64 = jnp.where(live, keys.astype(U64), SENTINEL64)
+    return keys64, counts, jnp.where(live, coord, SENTINEL64)
 
 
 def table_finalize(table: DeviceCountTable, min_count: int = 1,
@@ -380,5 +398,5 @@ def compact_detailed(keys, counts, rn, ps):
 def compact_unique(keys, rn, ps):
     """Host densification of unique_kmer_coords outputs."""
     keys = np.asarray(keys)
-    sel = keys != SENTINEL64
+    sel = keys != sentinel_of(keys.dtype)
     return keys[sel], np.asarray(rn)[sel], np.asarray(ps)[sel]
