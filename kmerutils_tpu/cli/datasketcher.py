@@ -10,8 +10,11 @@ Streams the file in packs of reads (10000, or 5000 in block mode — the
 reference's pack sizes, datasketcher.rs:212), sketches with ProbMinHash3a by
 default (hash = invertible wang hash of the canonical kmer,
 datasketcher.rs:222-226), writes the signature dump (magic 0xceabeadd) or
-block dump (0xceabbadd), the params JSON, and optionally a brute-force ANN
-neighbor file (the hnsw_rs export role — see ann.py).
+block dump (0xceabbadd), the params JSON, and optionally the ANN export
+(the hnsw_rs role, datasketcher.rs:156-195): signatures go into the native
+HNSW graph (kmerutils_tpu/hnsw.py -> native/hnsw.cpp), the graph is dumped
+to <dump>-ann.hnsw and a neighbor table to <dump>-ann; --engine brute falls
+back to the exact device-side search (ann.py).
 """
 
 from __future__ import annotations
@@ -37,6 +40,14 @@ def build_parser():
     sub = p.add_subparsers(dest="cmd")
     ann = sub.add_parser("ann")
     ann.add_argument("-n", "--nbng", type=int, default=10)
+    ann.add_argument("--engine", default="hnsw", choices=["hnsw", "brute"],
+                     help="hnsw = native graph index (+ graph file dump, "
+                          "the hnsw_rs role); brute = exact device-side")
+    ann.add_argument("--max-nb-connection", type=int, default=24,
+                     help="HNSW max degree (reference default, "
+                          "datasketcher.rs:169)")
+    ann.add_argument("--ef", type=int, default=400,
+                     help="HNSW ef_construction (datasketcher.rs:170)")
     return p
 
 
@@ -89,9 +100,30 @@ def main(argv=None):
 
     if args.cmd == "ann":
         from ..ann import brute_force_neighbors, write_neighbor_dump
-        nn, dist = brute_force_neighbors(ordered, args.nbng)
-        write_neighbor_dump(args.dumpfname + "-ann", nn, dist)
-        print(f"wrote {args.nbng} neighbors/read to {args.dumpfname}-ann")
+        from .. import hnsw as hnsw_mod
+        if args.engine == "hnsw" and hnsw_mod.available():
+            # hnsw_rs role: insert signatures, dump the graph file
+            # (datasketcher.rs:263-270,336-347), then emit the neighbor
+            # table from the index
+            index = hnsw_mod.Hnsw(dim=ordered.shape[1],
+                                  capacity=ordered.shape[0],
+                                  max_nb_connection=args.max_nb_connection,
+                                  ef_construction=args.ef)
+            index.parallel_insert(ordered.astype(np.uint32))
+            index.file_dump(args.dumpfname + "-ann.hnsw")
+            ids, dist = index.search(ordered.astype(np.uint32),
+                                     k=args.nbng + 1,
+                                     ef_search=max(64, 2 * args.nbng))
+            # drop self-matches (first column is the query itself)
+            nn = ids[:, 1:].astype(np.int32)
+            sim = 1.0 - dist[:, 1:]
+            write_neighbor_dump(args.dumpfname + "-ann", nn, sim)
+            print(f"hnsw graph -> {args.dumpfname}-ann.hnsw; "
+                  f"{args.nbng} neighbors/read -> {args.dumpfname}-ann")
+        else:
+            nn, dist = brute_force_neighbors(ordered, args.nbng)
+            write_neighbor_dump(args.dumpfname + "-ann", nn, dist)
+            print(f"wrote {args.nbng} neighbors/read to {args.dumpfname}-ann")
     return 0
 
 
