@@ -39,7 +39,8 @@ LANES = 512      # positions per inner step
 BIG = np.float32(np.inf)
 
 
-def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref):
+def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref,
+                       *, iota_payload: bool = False):
     p_pad = items_ref.shape[2]
     m_pad = out_ref.shape[1]
     n_chunks = p_pad // LANES
@@ -75,11 +76,19 @@ def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref):
             u = (pltpu.bitcast(h >> U32(8), jnp.int32).astype(F32)
                  * F32(2.0**-24) + F32(2.0**-24))
             e = jnp.log(u) * jnp.broadcast_to(wv, (SUB, LANES))
-            # tie rule: equal draw -> smallest item (pure function of the
-            # weighted item multiset; mirrored by the XLA path's ~item key)
-            upd = (e > best_e) | ((e == best_e) & (itb < best_i))
+            # payload carried with the best draw: the item itself (u32
+            # items; ties -> smallest item, mirroring the XLA path's ~item
+            # key) or the position (u64 items reduced on their 32-bit fold;
+            # ties -> first position, the XLA wide path's rule — the caller
+            # gathers the real item by position)
+            if iota_payload:
+                pay = (jax.lax.broadcasted_iota(U32, (SUB, LANES), 1)
+                       + U32(c * LANES))
+            else:
+                pay = itb
+            upd = (e > best_e) | ((e == best_e) & (pay < best_i))
             best_e = jnp.where(upd, e, best_e)
-            best_i = jnp.where(upd, itb, best_i)
+            best_i = jnp.where(upd, pay, best_i)
         # cross-lane reduce: max e' (= min E), ties -> min item.  Mosaic has
         # no unsigned reductions: flip the sign bit and min over i32
         # (order-preserving).
@@ -92,10 +101,18 @@ def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref):
         out_ref[0, pl.ds(sg * SUB, SUB), 0] = win[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "seed", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("m", "seed", "interpret",
+                                    "return_positions"))
 def weighted_tournament(items32, winv, m: int, seed: int = 0,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        return_positions: bool = False):
     """sig u32[n, m] — items32 u32[n, P], winv f32[n, P] (<= 0 marks invalid).
+
+    With ``return_positions`` the result holds the winning POSITION per slot
+    instead of the item (ties -> first position) — the wide-item mode where
+    items32 is the 32-bit fold of u64 items and the caller gathers the real
+    item by position.
 
     m is padded to a multiple of 8 internally; P to a multiple of 512.
     Rows with no valid position return garbage (mask with your own empty
@@ -121,7 +138,8 @@ def weighted_tournament(items32, winv, m: int, seed: int = 0,
     # state; trace the kernel with x64 off (array dtypes are explicit anyway)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _tournament_kernel,
+            functools.partial(_tournament_kernel,
+                              iota_payload=return_positions),
             grid=(n,),
             in_specs=[
                 pl.BlockSpec((m_pad, 1), lambda i: (0, 0),

@@ -139,8 +139,8 @@ class WaveletMatrix:
         lo, hi = 0, int(pos)
         for d, bv in enumerate(self.levels):
             bit = (symbol >> (self._bit_len - 1 - d)) & 1
-            rlo = int(bv.rank1(lo))
-            rhi = int(bv.rank1(hi))
+            rlo = int(np.ravel(bv.rank1(lo))[0])
+            rhi = int(np.ravel(bv.rank1(hi))[0])
             if bit:
                 lo = self.zeros[d] + rlo
                 hi = self.zeros[d] + rhi

@@ -106,13 +106,21 @@ def _tournament(items, winv, valid, m: int, seed: int):
     wide = items.dtype == jnp.uint64
     empty = ~valid.any(axis=1)
 
-    if not wide:
-        from .. import config
-        if config.pallas_tournament_enabled():
-            from ..ops.tournament import weighted_tournament
-            winv_m = jnp.where(valid, jnp.asarray(winv, F32), F32(0.0))
+    from .. import config
+    if config.pallas_tournament_enabled():
+        from ..ops.tournament import weighted_tournament
+        winv_m = jnp.where(valid, jnp.asarray(winv, F32), F32(0.0))
+        if not wide:
             sig = weighted_tournament(items, winv_m, m, seed=seed)
             return jnp.where(empty[:, None], U32(0), sig), empty
+        # wide items: the kernel reduces on the 32-bit fold and returns the
+        # winning position (ties -> first position, matching the XLA wide
+        # path); one small [n, m] gather recovers the u64 item
+        pos = weighted_tournament(_fold32(items), winv_m, m, seed=seed,
+                                  return_positions=True)
+        idx = jnp.minimum(pos, U32(items.shape[1] - 1)).astype(I32)
+        sig = jnp.take_along_axis(items, idx, axis=1)
+        return jnp.where(empty[:, None], U64(0), sig), empty
 
     slotc = _slot_consts(m, seed)
     it32 = _fold32(items)

@@ -108,6 +108,32 @@ class TestProbMinHash:
         sig_pl = np.where(np.asarray(empty)[:, None], 0, np.asarray(sig_pl))
         assert (np.asarray(sig_xla) == sig_pl).all()
 
+    def test_pallas_wide_matches_xla_path(self, rng):
+        # u64 items: the kernel reduces on the 32-bit fold and returns
+        # winning positions; gather must reproduce the XLA wide path exactly
+        from kmerutils_tpu import config
+        n, P, m = 4, 700, 200
+        items = rng.integers(1, 1 << 62, size=(n, P), dtype=np.uint64)
+        # duplicates to exercise equal-draw ties resolved by position
+        items[:, 0::3][:, :233] = items[:, 1::3][:, :233]
+        w = rng.integers(1, 5, size=(n, P)).astype(np.int32)
+        valid = rng.random((n, P)) < 0.9
+        valid[3, :] = False
+        winv = np.where(valid, 1.0 / w, 0.0).astype(np.float32)
+        del config  # tie rules are compared through the explicit calls below
+        sig_xla, empty = probminhash._tournament(
+            items, winv.astype(np.float32), valid, m, 0)
+        from kmerutils_tpu.ops.tournament import weighted_tournament
+        from kmerutils_tpu.sketch.probminhash import _fold32
+        import jax.numpy as jnp
+        pos = weighted_tournament(
+            _fold32(jnp.asarray(items)), winv, m, seed=0,
+            interpret=True, return_positions=True)
+        idx = np.minimum(np.asarray(pos), P - 1).astype(np.int64)
+        sig_pl = np.take_along_axis(items, idx, axis=1)
+        sig_pl = np.where(np.asarray(empty)[:, None], 0, sig_pl)
+        assert (np.asarray(sig_xla) == sig_pl).all()
+
     def test_from_items_matches_explicit_weights(self, rng):
         # probminhash_from_items derives multiplicities internally (sort +
         # run-length scans); must agree with explicit-weight signatures —
