@@ -114,9 +114,14 @@ def main(argv=None):
             ids, dist = index.search(ordered.astype(np.uint32),
                                      k=args.nbng + 1,
                                      ef_search=max(64, 2 * args.nbng))
-            # drop self-matches (first column is the query itself)
-            nn = ids[:, 1:].astype(np.int32)
-            sim = 1.0 - dist[:, 1:]
+            # drop the self-match by ID — an exact-duplicate read can rank
+            # above self at distance 0, so position 0 is not always self
+            nq = ids.shape[0]
+            keep = ids != np.arange(nq, dtype=np.int64)[:, None]
+            extra = keep.sum(axis=1) == ids.shape[1]
+            keep[extra, -1] = False     # self absent: drop the worst hit
+            nn = ids[keep].reshape(nq, -1).astype(np.int32)
+            sim = (1.0 - dist)[keep].reshape(nq, -1)
             write_neighbor_dump(args.dumpfname + "-ann", nn, sim)
             print(f"hnsw graph -> {args.dumpfname}-ann.hnsw; "
                   f"{args.nbng} neighbors/read -> {args.dumpfname}-ann")

@@ -47,6 +47,20 @@ def _load():
         ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
     ]
+    try:
+        lib.ktp_next_block_packed.restype = ctypes.c_long
+        lib.ktp_next_block_packed.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+        ]
+    except AttributeError:
+        pass  # stale .so without the packed entry point
     _lib = lib
     return _lib
 
@@ -84,6 +98,35 @@ class NativeFastxReader:
             if n == 0:
                 break
             yield codes[: offsets[n]].copy(), offsets[: n + 1].copy()
+        self.close()
+
+    def packed_blocks(self, n_threads: int | None = None):
+        """Yield (words uint32 flat, word_offsets int64[n+1], lengths
+        int32[n]) — reads already in the device 16-bases-per-u32 word
+        layout (ReadBatch rows minus the per-batch padding), encoded by
+        ``n_threads`` C++ threads.  Dropped (non-ACGT) reads never appear.
+        """
+        lib = self._lib
+        if not hasattr(lib, "ktp_next_block_packed"):
+            raise RuntimeError("native library lacks the packed entry "
+                               "point; rebuild with `make -C native`")
+        if n_threads is None:
+            n_threads = min(8, os.cpu_count() or 1)
+        cap_words = self.block_bases // 16 + self.block_reads  # per-read pad
+        words = np.empty(cap_words, dtype=np.uint32)
+        woff = np.empty(self.block_reads + 1, dtype=np.int64)
+        lens = np.empty(self.block_reads, dtype=np.int32)
+        while True:
+            n = lib.ktp_next_block_packed(
+                self._h, words, cap_words, woff, lens, self.block_reads,
+                self.stats, int(n_threads))
+            if n < 0:
+                raise RuntimeError("native parser error (bad format or "
+                                   "single read larger than block_bases)")
+            if n == 0:
+                break
+            yield (words[: woff[n]].copy(), woff[: n + 1].copy(),
+                   lens[:n].copy())
         self.close()
 
     def close(self):

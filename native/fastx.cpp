@@ -12,14 +12,24 @@
 //           base), offsets[0..n] with read boundaries; returns n_reads
 //           (0 = EOF, -1 = error / buffer too small for one read).
 //           stats accumulates {n_bases, bad_bases, bad_reads, n_records}.
+//   long  ktp_next_block_packed(h, words_buf, cap_words, word_offsets,
+//                               lengths, max_reads, stats, n_threads)
+//         — same record scan, but emits device-layout packed words:
+//           16 bases per uint32, first base in the TOP 2 bits (the
+//           ReadBatch word layout of base/sequence.py); each read starts
+//           at a fresh word, tail zero-padded.  Encoding runs across
+//           n_threads.  Reads with any non-ACGT base are dropped.
 //   void  ktp_close(h)
 //
 // Build: make -C native  (g++ -O3 -shared; zlib for .gz)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
+#include <vector>
 #include <zlib.h>
 
 namespace {
@@ -35,6 +45,15 @@ struct Parser {
     bool eof = false;
     bool fastq = false;
     bool format_known = false;
+
+    // packed-path staging: record bytes copied out of the carry buffer so
+    // encoding can run after further next_line calls (which may refill)
+    std::vector<char> stage;
+    std::vector<size_t> rec_off, rec_len;
+    // one record that did not fit the caller's word budget, kept for the
+    // next call
+    std::vector<char> pending;
+    bool has_pending = false;
 
     bool fill() {
         if (eof) return buf_len > pos;
@@ -204,6 +223,149 @@ long ktp_next_block(void *h, uint8_t *codes_buf, long cap,
         }
     }
     return n_reads;
+}
+
+long ktp_next_block_packed(void *h, uint32_t *words_buf, long cap_words,
+                           int64_t *word_offsets, int32_t *lengths,
+                           long max_reads, int64_t *stats,
+                           int32_t n_threads) {
+    Parser *p = static_cast<Parser *>(h);
+    const uint8_t *enc = encode_table();
+  restart:
+    p->stage.clear();
+    p->rec_off.clear();
+    p->rec_len.clear();
+    int64_t words_needed = 0;
+    auto words_of = [](size_t n) { return (int64_t)((n + 15) / 16); };
+
+    // ---- pass 1: gather raw records into the staging buffer -------------
+    if (p->has_pending) {
+        if (words_of(p->pending.size()) > cap_words) return -1;
+        p->rec_off.push_back(0);
+        p->rec_len.push_back(p->pending.size());
+        p->stage.assign(p->pending.begin(), p->pending.end());
+        words_needed += words_of(p->pending.size());
+        p->has_pending = false;
+    }
+    while ((long)p->rec_len.size() < max_reads) {
+        size_t len;
+        char *line = p->next_line(&len);
+        if (!line) break;
+        if (len == 0) continue;
+        if (!p->format_known) {
+            if (line[0] == '@') p->fastq = true;
+            else if (line[0] == '>') p->fastq = false;
+            else return -1;
+            p->format_known = true;
+        }
+        size_t start = p->stage.size();
+        size_t slen = 0;
+        if (p->fastq) {
+            if (line[0] != '@') return -1;
+            char *seq = p->next_line(&slen);
+            if (!seq) break;
+            p->stage.insert(p->stage.end(), seq, seq + slen);
+            size_t l2, l3;
+            p->next_line(&l2);          // '+'
+            p->next_line(&l3);          // quality (skipped)
+        } else {
+            if (line[0] != '>') return -1;
+            for (;;) {
+                size_t l;
+                char *seq = p->next_line(&l);
+                if (!seq) break;
+                if (l && seq[0] == '>') { p->pos -= p->last_consumed; break; }
+                p->stage.insert(p->stage.end(), seq, seq + l);
+            }
+            slen = p->stage.size() - start;
+            if (slen == 0) continue;
+        }
+        if (words_needed + words_of(slen) > cap_words) {
+            // keep for the next call
+            p->pending.assign(p->stage.begin() + start, p->stage.end());
+            p->stage.resize(start);
+            p->has_pending = true;
+            if (p->rec_len.empty()) return -1;  // single read over budget
+            break;
+        }
+        p->rec_off.push_back(start);
+        p->rec_len.push_back(slen);
+        words_needed += words_of(slen);
+    }
+    long n_rec = (long)p->rec_len.size();
+    if (n_rec == 0) return 0;
+
+    // ---- pass 2: parallel encode into device word layout -----------------
+    word_offsets[0] = 0;
+    for (long r = 0; r < n_rec; ++r)
+        word_offsets[r + 1] = word_offsets[r] + words_of(p->rec_len[r]);
+    std::vector<int64_t> badc(n_rec);
+    std::atomic<long> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            long r = next.fetch_add(1);
+            if (r >= n_rec) break;
+            const char *s = p->stage.data() + p->rec_off[r];
+            size_t n = p->rec_len[r];
+            uint32_t *out = words_buf + word_offsets[r];
+            int64_t bad = 0;
+            size_t full = n / 16;
+            for (size_t w = 0; w < full; ++w) {
+                uint32_t u = 0;
+                const char *b = s + w * 16;
+                for (int j = 0; j < 16; ++j) {
+                    uint8_t c = enc[(uint8_t)b[j]];
+                    bad += (c == 0xFF);
+                    u = (u << 2) | (c & 3);
+                }
+                out[w] = u;
+            }
+            size_t rem = n - full * 16;
+            if (rem) {
+                uint32_t u = 0;
+                const char *b = s + full * 16;
+                for (size_t j = 0; j < rem; ++j) {
+                    uint8_t c = enc[(uint8_t)b[j]];
+                    bad += (c == 0xFF);
+                    u |= (uint32_t)(c & 3) << (30 - 2 * (int)j);
+                }
+                out[full] = u;
+            }
+            badc[r] = bad;
+        }
+    };
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> ts;
+        for (int32_t t = 0; t < n_threads; ++t) ts.emplace_back(worker);
+        for (auto &t : ts) t.join();
+    }
+
+    // ---- pass 3: drop bad reads, compact, update stats -------------------
+    long kept = 0;
+    int64_t out_words = 0;
+    for (long r = 0; r < n_rec; ++r) {
+        int64_t w = words_of(p->rec_len[r]);
+        stats[0] += (int64_t)p->rec_len[r];
+        stats[3] += 1;
+        if (badc[r]) {
+            stats[1] += badc[r];
+            stats[2] += 1;
+            continue;
+        }
+        if (out_words != word_offsets[r])
+            memmove(words_buf + out_words, words_buf + word_offsets[r],
+                    (size_t)w * 4);
+        lengths[kept] = (int32_t)p->rec_len[r];
+        word_offsets[kept] = out_words;   // rewrite in place (kept <= r)
+        out_words += w;
+        ++kept;
+    }
+    word_offsets[kept] = out_words;
+    if (kept == 0) goto restart;   // whole block dropped: 0 must mean EOF
+    return kept;
 }
 
 }  // extern "C"
