@@ -213,3 +213,59 @@ class TestNativeParser:
         r = native.NativeFastxReader(p)
         list(r)
         assert r.stats.tolist() == [12, 1, 1, 3]
+
+    def test_packed_blocks_word_layout(self, tmp_path):
+        # packed output must equal pack_codes' word layout (first base in
+        # the top 2 bits), reads word-aligned, dropped reads absent
+        from kmerutils_tpu.io import native
+        from kmerutils_tpu.base.sequence import pack_ascii_reads
+        if not native.available():
+            pytest.skip("native parser not built")
+        reads = ["ACGTACGTACGTACGTAC",       # 18 bases -> 2 words
+                 "ACNT",                      # dropped
+                 "T" * 16,                    # exactly one word
+                 "G"]
+        p = str(tmp_path / "p.fastq")
+        fastx.write_fastq(p, reads)
+        r = native.NativeFastxReader(p)
+        blocks = list(r.packed_blocks(n_threads=2))
+        assert len(blocks) == 1
+        words, woff, lens = blocks[0]
+        keep = [reads[0], reads[2], reads[3]]
+        assert lens.tolist() == [len(x) for x in keep]
+        for i, s in enumerate(keep):
+            want = np.asarray(pack_ascii_reads([s]).words)[0]
+            got = words[woff[i] : woff[i + 1]]
+            # pack_ascii_reads appends a slack word; packed path does not
+            assert got.tolist() == want[: got.size].tolist()
+            assert got.size == (len(s) + 15) // 16
+        assert r.stats.tolist() == [39, 1, 1, 4]
+
+    def test_packed_batches_match_byte_path(self, rng, tmp_path):
+        from kmerutils_tpu.io import native
+        if not native.available():
+            pytest.skip("native parser not built")
+        reads = []
+        for i in range(200):
+            n = int(rng.integers(5, 700))
+            s = "".join(rng.choice(list("ACGT"), size=n))
+            if i % 13 == 0:
+                s = s[: n // 2] + "N" + s[n // 2 :]
+            reads.append(s)
+        for writer, name in ((fastx.write_fastq, "a.fastq"),
+                             (fastx.write_fasta, "a.fasta")):
+            p = str(tmp_path / name)
+            writer(p, reads)
+            st_a, st_b = fastx.IngestStats(), fastx.IngestStats()
+            A = list(fastx.read_batches(p, batch_reads=32, stats=st_a,
+                                        packed=True))
+            B = list(fastx.read_batches(p, batch_reads=32, stats=st_b,
+                                        packed=False))
+            assert len(A) == len(B)
+            for (ba, ia), (bb, ib) in zip(A, B):
+                assert (np.asarray(ia) == np.asarray(ib)).all()
+                assert ba.words.shape == bb.words.shape
+                assert (np.asarray(ba.words) == np.asarray(bb.words)).all()
+                assert (np.asarray(ba.lengths)
+                        == np.asarray(bb.lengths)).all()
+            assert vars(st_a) == vars(st_b)
