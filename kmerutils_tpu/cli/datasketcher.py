@@ -51,6 +51,66 @@ def build_parser():
     return p
 
 
+def _block_ann(args, per_seq):
+    """ANN over BLOCK sketches — the Hnsw<BlockSketched, DistBlockSketched>
+    role (datasketcher.rs:285-309): every live block is one vector; the
+    same-read rule of DistBlockSketched (distance 1.0 within a read,
+    seqblocksketch.rs:417-440) is applied by filtering same-read hits from
+    the neighbor table.  Writes <dump>-ann (block-level neighbors),
+    <dump>-ann.blocks ((numseq, numblock) u32 pairs, one per table row)
+    and, with the native index, <dump>-ann.hnsw."""
+    import numpy as np
+    from ..ann import brute_force_neighbors, write_neighbor_dump
+    from .. import hnsw as hnsw_mod
+
+    rows = []
+    who = []       # (numseq, numblock) per row
+    for numseq, blocks in per_seq:
+        for j, sig in enumerate(blocks):
+            rows.append(sig)
+            who.append((numseq, j))
+    if not rows:
+        print("no live blocks; skipping ann")
+        return
+    sigs = np.stack(rows).astype(np.uint32)
+    who = np.asarray(who, dtype=np.uint32)
+    read_of = who[:, 0].astype(np.int64)
+    k = args.nbng
+    extra = 8  # headroom so same-read filtering still leaves k hits
+    if hnsw_mod.available():
+        index = hnsw_mod.Hnsw(dim=sigs.shape[1], capacity=sigs.shape[0],
+                              max_nb_connection=args.max_nb_connection,
+                              ef_construction=args.ef)
+        index.parallel_insert(sigs)
+        index.file_dump(args.dumpfname + "-ann.hnsw")
+        ids, dist = index.search(sigs, k=k + 1 + extra,
+                                 ef_search=max(64, 2 * (k + extra)))
+        sim = 1.0 - dist
+    else:
+        nn, sim0 = brute_force_neighbors(sigs, nbng=k + extra,
+                                         exclude_self=True)
+        ids, sim = nn.astype(np.int64), sim0
+    # DistBlockSketched: same-read blocks are at distance 1.0 — drop them
+    nq = ids.shape[0]
+    out_nn = np.zeros((nq, k), np.int32)
+    out_sim = np.full((nq, k), -1.0, np.float32)
+    for q in range(nq):
+        c = 0
+        for j in range(ids.shape[1]):
+            t = int(ids[q, j])
+            if t < 0 or read_of[t] == read_of[q]:
+                continue
+            out_nn[q, c] = t
+            out_sim[q, c] = sim[q, j]
+            c += 1
+            if c == k:
+                break
+    write_neighbor_dump(args.dumpfname + "-ann", out_nn, out_sim)
+    who.tofile(args.dumpfname + "-ann.blocks")
+    print(f"block ann: {nq} blocks, {k} cross-read neighbors/block -> "
+          f"{args.dumpfname}-ann")
+
+
 def main(argv=None):
     import kmerutils_tpu  # noqa: F401
     from ..io import fastx, formats
@@ -81,6 +141,8 @@ def main(argv=None):
         formats.write_block_signature_dump(args.dumpfname, args.kmer_size,
                                            args.block_size, per_seq)
         print(f"dumped block signatures for {len(per_seq)} reads")
+        if args.cmd == "ann":
+            _block_ann(args, per_seq)
         return 0
 
     sk = Sketcher(params=params)

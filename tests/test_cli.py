@@ -91,6 +91,28 @@ class TestDatasketcher:
         assert (k, m, bs) == (8, 32, 64)
         assert len(back) == len(reads)
 
+    def test_block_ann(self, fastq_file, tmp_path):
+        # block mode + ann: block-level neighbor table excludes same-read
+        # blocks (DistBlockSketched semantics) and ships a (numseq, numblock)
+        # row index
+        p, reads = fastq_file
+        out = str(tmp_path / "b.bin")
+        rc = datasketcher.main(["-f", p, "-s", "64", "-k", "11", "-d", out,
+                                "-b", "64", "ann", "-n", "2"])
+        assert rc == 0
+        from kmerutils_tpu.ann import read_neighbor_dump
+        nn, sim = read_neighbor_dump(out + "-ann")
+        who = np.fromfile(out + "-ann.blocks", dtype=np.uint32).reshape(-1, 2)
+        assert who.shape[0] == nn.shape[0]
+        read_of = who[:, 0]
+        live = sim >= 0
+        assert live.any()
+        # no neighbor may come from the query's own read
+        for q in range(nn.shape[0]):
+            for j in range(nn.shape[1]):
+                if live[q, j]:
+                    assert read_of[nn[q, j]] != read_of[q]
+
     def test_ann(self, fastq_file, tmp_path):
         p, reads = fastq_file
         out = str(tmp_path / "s.bin")
