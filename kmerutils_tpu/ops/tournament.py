@@ -137,7 +137,7 @@ def weighted_tournament(items32, winv, m: int, seed: int = 0,
     # the package enables jax x64 globally, but Mosaic cannot lower i64 loop
     # state; trace the kernel with x64 off (array dtypes are explicit anyway)
     with jax.enable_x64(False):
-        out = pl.pallas_call(
+        out = pl.pallas_call(  # noqa: E128
             functools.partial(_tournament_kernel,
                               iota_payload=return_positions),
             grid=(n,),
@@ -155,3 +155,107 @@ def weighted_tournament(items32, winv, m: int, seed: int = 0,
             interpret=interpret,
         )(slotc, items32[:, None, :], winv[:, None, :])
     return out[:, :m, 0]
+
+
+def _tournament_kernel_u64(slotc_ref, lo_ref, hi_ref, winv_ref, out_ref):
+    """Wide-item tournament: the draw runs on the 32-bit fold lo^hi and the
+    accumulators carry the item HALVES plus the position, so the winning u64
+    item comes out of the kernel directly (no [n, m] gather).  Ties resolve
+    to the first position — the XLA wide path's rule.  In-lane that rule is
+    free (strict compare keeps the earlier chunk); cross-lane the position
+    accumulator picks the winner."""
+    p_pad = lo_ref.shape[2]
+    m_pad = out_ref.shape[1]
+    n_chunks = p_pad // LANES
+    n_sg = m_pad // SUB
+
+    for sg in range(n_sg):
+        sc = slotc_ref[pl.ds(sg * SUB, SUB), :]
+        best_e = jnp.full((SUB, LANES), -BIG, F32)
+        best_p = jnp.full((SUB, LANES), U32(0xFFFFFFFF), U32)
+        best_lo = jnp.zeros((SUB, LANES), U32)
+        best_hi = jnp.zeros((SUB, LANES), U32)
+        for c in range(n_chunks):
+            lo = jnp.broadcast_to(
+                lo_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)], (SUB, LANES))
+            hi = jnp.broadcast_to(
+                hi_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)], (SUB, LANES))
+            wv = winv_ref[0, pl.ds(0, 1), pl.ds(c * LANES, LANES)]
+            h = (lo ^ hi) ^ jnp.broadcast_to(sc, (SUB, LANES))
+            h = h * U32(0x9E3779B1)
+            h = h ^ (h >> U32(15))
+            h = h * U32(0x85EBCA77)
+            u = (pltpu.bitcast(h >> U32(8), jnp.int32).astype(F32)
+                 * F32(2.0**-24) + F32(2.0**-24))
+            e = jnp.log(u) * jnp.broadcast_to(wv, (SUB, LANES))
+            # strict >: on equal draws the EARLIER position in this lane
+            # stays, which is exactly the min-position rule within a lane
+            upd = e > best_e
+            pos = (jax.lax.broadcasted_iota(U32, (SUB, LANES), 1)
+                   + U32(c * LANES))
+            best_e = jnp.where(upd, e, best_e)
+            best_p = jnp.where(upd, pos, best_p)
+            best_lo = jnp.where(upd, lo, best_lo)
+            best_hi = jnp.where(upd, hi, best_hi)
+        # cross-lane: max e', ties -> min position; then read that lane's
+        # item halves (the winning position is unique, so min-reduce works)
+        e_best = jnp.max(best_e, axis=1, keepdims=True)
+        eq = best_e == e_best
+        pc = jnp.where(eq, best_p, U32(0xFFFFFFFF)) ^ U32(0x80000000)
+        win_p = jnp.min(pltpu.bitcast(pc, jnp.int32), axis=1, keepdims=True)
+        sel = eq & (pltpu.bitcast(pc, jnp.int32) == win_p)
+        lo_w = jnp.min(pltpu.bitcast(
+            jnp.where(sel, best_lo, U32(0xFFFFFFFF)) ^ U32(0x80000000),
+            jnp.int32), axis=1, keepdims=True)
+        hi_w = jnp.min(pltpu.bitcast(
+            jnp.where(sel, best_hi, U32(0xFFFFFFFF)) ^ U32(0x80000000),
+            jnp.int32), axis=1, keepdims=True)
+        out_ref[0, pl.ds(sg * SUB, SUB), 0] = (
+            pltpu.bitcast(lo_w, U32) ^ U32(0x80000000))[:, 0]
+        out_ref[0, pl.ds(sg * SUB, SUB), 1] = (
+            pltpu.bitcast(hi_w, U32) ^ U32(0x80000000))[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "seed", "interpret"))
+def weighted_tournament_u64(lo, hi, winv, m: int, seed: int = 0,
+                            interpret: bool = False):
+    """Wide-item tournament: (lo, hi) u32[n, P] halves of u64 items,
+    winv f32[n, P] (<= 0 invalid).  Returns (lo_win, hi_win) u32[n, m].
+    Rows with no valid position return garbage — mask with your empty flag.
+    """
+    lo = jnp.asarray(lo, U32)
+    hi = jnp.asarray(hi, U32)
+    winv = jnp.asarray(winv, F32)
+    n, P = lo.shape
+    m_pad = -(-m // SUB) * SUB
+    p_pad = -(-P // LANES) * LANES
+    winv = jnp.where(winv > F32(0.0), winv, jnp.float32(np.nan))
+    if p_pad != P:
+        lo = jnp.pad(lo, ((0, 0), (0, p_pad - P)))
+        hi = jnp.pad(hi, ((0, 0), (0, p_pad - P)))
+        winv = jnp.pad(winv, ((0, 0), (0, p_pad - P)),
+                       constant_values=np.nan)
+
+    from ..sketch.probminhash import _slot_consts
+    slotc = _slot_consts(m_pad, seed).reshape(m_pad, 1)
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _tournament_kernel_u64,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, p_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, m_pad, 2), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, m_pad, 2), U32),
+            interpret=interpret,
+        )(slotc, lo[:, None, :], hi[:, None, :], winv[:, None, :])
+    return out[:, :m, 0], out[:, :m, 1]

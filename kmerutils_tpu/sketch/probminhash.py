@@ -113,13 +113,14 @@ def _tournament(items, winv, valid, m: int, seed: int):
         if not wide:
             sig = weighted_tournament(items, winv_m, m, seed=seed)
             return jnp.where(empty[:, None], U32(0), sig), empty
-        # wide items: the kernel reduces on the 32-bit fold and returns the
-        # winning position (ties -> first position, matching the XLA wide
-        # path); one small [n, m] gather recovers the u64 item
-        pos = weighted_tournament(_fold32(items), winv_m, m, seed=seed,
-                                  return_positions=True)
-        idx = jnp.minimum(pos, U32(items.shape[1] - 1)).astype(I32)
-        sig = jnp.take_along_axis(items, idx, axis=1)
+        # wide items: the kernel reduces on the 32-bit fold, carries the
+        # item halves, and resolves ties to the first position (the XLA
+        # wide path's rule) — no gather needed
+        from ..ops.tournament import weighted_tournament_u64
+        lo = (items & U64(0xFFFFFFFF)).astype(U32)
+        hi = (items >> U64(32)).astype(U32)
+        lo_w, hi_w = weighted_tournament_u64(lo, hi, winv_m, m, seed=seed)
+        sig = (hi_w.astype(U64) << U64(32)) | lo_w.astype(U64)
         return jnp.where(empty[:, None], U64(0), sig), empty
 
     slotc = _slot_consts(m, seed)

@@ -123,14 +123,25 @@ class TestProbMinHash:
         del config  # tie rules are compared through the explicit calls below
         sig_xla, empty = probminhash._tournament(
             items, winv.astype(np.float32), valid, m, 0)
-        from kmerutils_tpu.ops.tournament import weighted_tournament
+        from kmerutils_tpu.ops.tournament import (weighted_tournament,
+                                                  weighted_tournament_u64)
         from kmerutils_tpu.sketch.probminhash import _fold32
         import jax.numpy as jnp
+        # position mode of the u32 kernel
         pos = weighted_tournament(
             _fold32(jnp.asarray(items)), winv, m, seed=0,
             interpret=True, return_positions=True)
         idx = np.minimum(np.asarray(pos), P - 1).astype(np.int64)
-        sig_pl = np.take_along_axis(items, idx, axis=1)
+        sig_pos = np.take_along_axis(items, idx, axis=1)
+        sig_pos = np.where(np.asarray(empty)[:, None], 0, sig_pos)
+        assert (np.asarray(sig_xla) == sig_pos).all()
+        # two-payload wide kernel (the production wide path)
+        lo = (items & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (items >> np.uint64(32)).astype(np.uint32)
+        lo_w, hi_w = weighted_tournament_u64(lo, hi, winv, m, seed=0,
+                                             interpret=True)
+        sig_pl = ((np.asarray(hi_w).astype(np.uint64) << np.uint64(32))
+                  | np.asarray(lo_w).astype(np.uint64))
         sig_pl = np.where(np.asarray(empty)[:, None], 0, sig_pl)
         assert (np.asarray(sig_xla) == sig_pl).all()
 
