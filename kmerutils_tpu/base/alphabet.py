@@ -56,6 +56,12 @@ def count_non_acgt(ascii_bytes) -> int:
     return int((~is_acgt(ascii_bytes)).sum())
 
 
+def get_ac_from_tg(c: int) -> int:
+    """Lower conjugate of a base: T->A, G->C, others unchanged — twin of
+    alphabet.rs:20-26 (used by parsefastq's return-times option)."""
+    return {ord("T"): ord("A"), ord("G"): ord("C")}.get(int(c), int(c))
+
+
 def encode_2b(ascii_bytes) -> np.ndarray:
     """ASCII -> 2-bit codes (0..3); invalid bases map to 0xFF."""
     return ENCODE_2B[np.asarray(ascii_bytes, dtype=np.uint8)]

@@ -137,7 +137,7 @@ def weighted_tournament(items32, winv, m: int, seed: int = 0,
     # the package enables jax x64 globally, but Mosaic cannot lower i64 loop
     # state; trace the kernel with x64 off (array dtypes are explicit anyway)
     with jax.enable_x64(False):
-        out = pl.pallas_call(  # noqa: E128
+        out = pl.pallas_call(
             functools.partial(_tournament_kernel,
                               iota_payload=return_positions),
             grid=(n,),

@@ -39,6 +39,13 @@ class TestAlphabet:
         assert alphabet.count_non_acgt(np.frombuffer(b"ACGTN", dtype=np.uint8)) == 1
         assert alphabet.count_non_acgt(np.frombuffer(SEQ80.encode(), dtype=np.uint8)) == 0
 
+    def test_get_ac_from_tg(self):
+        # alphabet.rs:20-26: T->A, G->C, everything else unchanged
+        assert alphabet.get_ac_from_tg(ord("T")) == ord("A")
+        assert alphabet.get_ac_from_tg(ord("G")) == ord("C")
+        assert alphabet.get_ac_from_tg(ord("A")) == ord("A")
+        assert alphabet.get_ac_from_tg(ord("N")) == ord("N")
+
     def test_4bit(self):
         raw = np.frombuffer(b"ACGTN", dtype=np.uint8)
         codes = alphabet.encode_4b(raw)
