@@ -149,7 +149,13 @@ def read_batches(path: str, batch_reads: int = 10000,
     """
     import jax.numpy as jnp
 
-    max_batch_bases = batch_reads * 8192  # ~80 Mbases padded at defaults
+    # Fixed padded-capacity cap, NOT scaled by batch_reads: device sort
+    # throughput per element degrades past ~6-8M elements (VMEM pressure)
+    # and first-compile time grows superlinearly with the flat-sort size,
+    # so one batch is at most ~8M padded bases (1024 rows at width 8192,
+    # 8192 rows at width 1024, ...).  batch_reads remains the row cap for
+    # short-read files.
+    max_batch_bases = 8 << 20
     # window entries: (payload, length) — payload is a per-read 2-bit code
     # array (byte path) or a per-read packed-u32 word slice (packed path)
     window: list = []
