@@ -19,12 +19,23 @@ get_base_count_par, :276-347).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .base.sequence import ReadBatch
 from .base import alphabet
+
+
+@jax.jit
+def _batch_base_counts(words, lengths):
+    """One fused device program per batch shape: unpack + masked one-hot
+    base counts.  Dispatching this eagerly op-by-op costs seconds per batch
+    on a remote-attached device; jitted it is one round trip."""
+    batch = ReadBatch(words=words, lengths=lengths)
+    return alphabet.base_counts(batch.codes(), batch.valid_mask())
 
 
 @dataclasses.dataclass
@@ -45,7 +56,7 @@ class ReadBaseDistribution:
 
     # ------------------------------------------------------------------
     def record_batch(self, batch: ReadBatch) -> None:
-        counts = np.asarray(alphabet.base_counts(batch.codes(), batch.valid_mask()))
+        counts = np.asarray(_batch_base_counts(batch.words, batch.lengths))
         lengths = np.asarray(batch.lengths)
         real = lengths > 0            # zero-length rows are batch padding
         counts, lengths = counts[real], lengths[real]
