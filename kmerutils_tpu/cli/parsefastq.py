@@ -69,7 +69,11 @@ def main(argv=None):
         import jax
         # device-resident streaming accumulation: batches merge on device,
         # records transfer to host once (parse-fastq's cuckoo-capacity role)
-        table = exact.DeviceCountTable.create(args.capacity)
+        import jax.numpy as jnp
+        # 32-bit table keys for k <= 16 (canonical kmers fit u32): the
+        # capacity-sized table sorts run ~1.4x faster than u64-keyed
+        key_dtype = jnp.uint32 if k <= 16 else jnp.uint64
+        table = exact.DeviceCountTable.create(args.capacity, key_dtype)
         inputs_fn = jax.jit(exact.batch_table_inputs, static_argnames=("k",))
         offset = 0
         for batch, idx in fastx.read_batches(args.filename,

@@ -231,9 +231,11 @@ class DeviceCountTable:
     ONCE at the end (a per-batch host merge moves every kmer record over
     PCIe/tunnel — the dominant cost for multi-Gbase files).
 
-    keys [C] u64 ascending (SENTINEL64 padding); counts i64; coord u64 =
-    (first_read << 32 | first_pos); n_dropped counts distinct kmers that
-    overflowed capacity (largest keys dropped first, deterministically).
+    keys [C] u32/u64 ascending (all-ones sentinel padding; 32-bit keys for
+    k <= 16 make the capacity-sized sorts ~1.4x faster); counts i64;
+    coord u64 = (first_read << 32 | first_pos); n_dropped counts distinct
+    kmers that overflowed capacity (largest keys dropped first,
+    deterministically).
     """
 
     keys: jax.Array
@@ -242,9 +244,10 @@ class DeviceCountTable:
     n_dropped: jax.Array
 
     @staticmethod
-    def create(capacity: int) -> "DeviceCountTable":
+    def create(capacity: int, key_dtype=U64) -> "DeviceCountTable":
         return DeviceCountTable(
-            keys=jnp.full(capacity, SENTINEL64, U64),
+            keys=jnp.full(capacity, sentinel_of(key_dtype),
+                          jnp.dtype(key_dtype)),
             counts=jnp.zeros(capacity, jnp.int64),
             coord=jnp.full(capacity, SENTINEL64, U64),
             n_dropped=jnp.zeros((), jnp.int64))
@@ -254,19 +257,27 @@ class DeviceCountTable:
 def table_update(table: DeviceCountTable, keys, counts, coord):
     """Fold one batch's run-aligned (keys, counts, coord) into the table.
 
-    keys u64 [N] (SENTINEL64 = dead slot), counts (0 on dead), coord u64
-    (SENTINEL64 on dead).  Cost: two variadic sorts of C+N plus two scans —
-    the sort carries coord as a second key, so each run's FIRST element holds
-    the minimum (global first-occurrence) coordinate; run totals come from a
-    cumulative sum and a reverse cummin locating each position's run end.
+    keys [N] in the table's key dtype (all-ones sentinel = dead slot),
+    counts (0 on dead), coord u64 (SENTINEL64 on dead).  Cost: two variadic
+    sorts of C+N plus two scans — the sort carries coord as a second key,
+    so each run's FIRST element holds the minimum (global first-occurrence)
+    coordinate; run totals come from a cumulative sum and a reverse cummin
+    locating each position's run end.
     """
     C = table.keys.shape[0]
-    allk = jnp.concatenate([table.keys, jnp.asarray(keys, U64)])
+    sent = sentinel_of(table.keys.dtype)
+    bk = jnp.asarray(keys)
+    if bk.dtype != table.keys.dtype:
+        # widening u32 batch keys into a u64 table: remap the sentinel too
+        # (0xFFFFFFFF widens to a VALID u64 key otherwise)
+        live = bk != sentinel_of(bk.dtype)
+        bk = jnp.where(live, bk.astype(table.keys.dtype), sent)
+    allk = jnp.concatenate([table.keys, bk])
     allc = jnp.concatenate([table.counts,
                             jnp.asarray(counts).astype(jnp.int64)])
     allo = jnp.concatenate([table.coord, jnp.asarray(coord, U64)])
     sk, so, sc = jax.lax.sort((allk, allo, allc), num_keys=2)
-    is_real = sk != SENTINEL64
+    is_real = sk != sent
     new_run = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & is_real
     nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
     nxt_real = jnp.concatenate([is_real[1:], jnp.zeros((1,), bool)])
@@ -276,7 +287,7 @@ def table_update(table: DeviceCountTable, keys, counts, coord):
         jnp.where(is_end, S, jnp.iinfo(jnp.int64).max)[::-1])[::-1]
     total = end_s - S + sc                      # valid at run starts
     ok, oc, oo = jax.lax.sort(
-        (jnp.where(new_run, sk, SENTINEL64),
+        (jnp.where(new_run, sk, sent),
          jnp.where(new_run, total, 0),
          jnp.where(new_run, so, SENTINEL64)), num_keys=1)
     n_live = new_run.sum()
@@ -287,15 +298,14 @@ def table_update(table: DeviceCountTable, keys, counts, coord):
 
 def batch_table_inputs(batch: ReadBatch, k: int, read_num_offset):
     """One batch's run-aligned (keys, counts, coord) for table_update.
-    read_num_offset may be a traced scalar (no retrace per batch)."""
+    read_num_offset may be a traced scalar (no retrace per batch).
+    Keys keep the kmer dtype (u32 for k <= 16) — pair with a table created
+    with the same key_dtype."""
     keys, counts, rn, ps, _ = count_batch_detailed(batch, k)
     live = counts > 0
     coord = ((rn.astype(U64) + jnp.asarray(read_num_offset, U64)) << U64(32)
              ) | ps.astype(U64)
-    # the table is u64-keyed; re-mark dead slots with the 64-bit sentinel
-    # (a u32 batch sentinel widens to 0x00000000FFFFFFFF otherwise)
-    keys64 = jnp.where(live, keys.astype(U64), SENTINEL64)
-    return keys64, counts, jnp.where(live, coord, SENTINEL64)
+    return keys, counts, jnp.where(live, coord, SENTINEL64)
 
 
 def table_finalize(table: DeviceCountTable, min_count: int = 1,
@@ -311,7 +321,7 @@ def table_finalize(table: DeviceCountTable, min_count: int = 1,
         if hi is not None:
             sel &= t.counts <= hi
         k2, c2, o2 = jax.lax.sort(
-            (jnp.where(sel, t.keys, SENTINEL64),
+            (jnp.where(sel, t.keys, sentinel_of(t.keys.dtype)),
              jnp.where(sel, t.counts, 0),
              jnp.where(sel, t.coord, SENTINEL64)), num_keys=1)
         return k2, c2, o2, sel.sum()
@@ -375,6 +385,8 @@ def batch_table_inputs_sorted(batch: ReadBatch, k: int, read_num_offset):
     starts compacted to the front by one batch-sized 2-key sort (the
     capacity-sized re-sort this replaces ran on every fold)."""
     keys, counts, coord = batch_table_inputs(batch, k, read_num_offset)
+    live = keys != sentinel_of(keys.dtype)
+    keys = jnp.where(live, keys.astype(U64), SENTINEL64)
     sk, so, sc = jax.lax.sort((keys, coord, counts.astype(jnp.int64)),
                               num_keys=2)
     n_live = (sk != SENTINEL64).sum()

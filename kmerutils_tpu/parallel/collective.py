@@ -191,6 +191,10 @@ def sharded_table_update(table, batch: ReadBatch, k: int, mesh: Mesh,
         n_local = words.shape[0]
         offset = read_num_offset + dev * n_local
         keys, counts, coord = exact.batch_table_inputs(local, k, offset)
+        # batch keys keep the kmer dtype (u32 for k <= 16); the sharded
+        # exchange and the per-device table run u64-keyed
+        live = keys != exact.sentinel_of(keys.dtype)
+        keys = jnp.where(live, keys.astype(U64), SENTINEL64)
         # each distinct key appears once per source device (local count +
         # local first coord); the owning device's table_update merges the
         # <= n_dev arriving records per key (sums counts, min coord)
