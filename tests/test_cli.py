@@ -60,6 +60,17 @@ class TestParsefastq:
         rp = list(zip(rn.tolist(), ps.tolist()))
         assert rp == sorted(rp)
 
+    def test_count_k20_u64_table(self, fastq_file, tmp_path, monkeypatch):
+        # k > 16 exercises the Kmer64bit domain and the u64-keyed table
+        p, reads = fastq_file
+        monkeypatch.chdir(tmp_path)
+        rc = parsefastq.main(["-f", p, "kmer", "--count", "-s", "20"])
+        assert rc == 0
+        k, reload = formats.read_multiple_kmer_dump(p + ".multi_kmer.bin")
+        want = {kk: min(cc, 255) for kk, cc in oracle_counts(reads, 20).items()
+                if cc >= 2}
+        assert k == 20 and reload == want
+
     def test_k15_rejected(self, fastq_file, capsys):
         p, _ = fastq_file
         assert parsefastq.main(["-f", p, "kmer", "--count", "-s", "15"]) == 1
