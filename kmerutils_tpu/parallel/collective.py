@@ -236,8 +236,13 @@ def gather_signatures(sigs, mesh: Mesh):
 
     # all_gather makes every device's output identical; shard_map cannot
     # infer that statically, so replication checking is disabled here
-    fn = shard_map(step, mesh=mesh, in_specs=P(READS_AXIS), out_specs=P(),
-                   check_rep=False)
+    # (kwarg renamed check_rep -> check_vma when shard_map moved to core)
+    try:
+        fn = shard_map(step, mesh=mesh, in_specs=P(READS_AXIS),
+                       out_specs=P(), check_vma=False)
+    except TypeError:
+        fn = shard_map(step, mesh=mesh, in_specs=P(READS_AXIS),
+                       out_specs=P(), check_rep=False)
     return fn(sigs)
 
 
