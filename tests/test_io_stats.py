@@ -54,6 +54,23 @@ class TestFastx:
         assert len(seen) == 57
         assert all(seen[i] == reads[i] for i in range(57))
 
+    def test_batch_capacity_cap(self, rng, tmp_path):
+        # padded rows x width never exceeds ~8M bases; an ultra-long read
+        # still fits (alone in an over-cap batch) and short reads batch wide
+        long_read = "".join(rng.choice(list("ACGT"), size=40_000))
+        shorts = ["".join(rng.choice(list("ACGT"), size=300))
+                  for _ in range(50)]
+        p = str(tmp_path / "mix.fastq")
+        fastx.write_fastq(p, [long_read] + shorts)
+        total = 0
+        for batch, idx in fastx.read_batches(p, batch_reads=10000):
+            n, W = batch.words.shape
+            padded_bases = n * (W - 1) * 16
+            assert padded_bases <= (8 << 20) or len(idx) == 1, \
+                (n, W, len(idx))
+            total += len(idx)
+        assert total == 51
+
     def test_gzip(self, rng, tmp_path):
         import gzip
         reads = make_reads(rng, 5)
