@@ -173,20 +173,28 @@ def main(argv=None):
                                   ef_construction=args.ef)
             index.parallel_insert(ordered.astype(np.uint32))
             index.file_dump(args.dumpfname + "-ann.hnsw")
+            # clamp k like brute_force_neighbors: at most n-1 cross hits
+            k = min(args.nbng, ordered.shape[0] - 1)
             ids, dist = index.search(ordered.astype(np.uint32),
-                                     k=args.nbng + 1,
+                                     k=k + 1,
                                      ef_search=max(64, 2 * args.nbng))
-            # drop the self-match by ID — an exact-duplicate read can rank
-            # above self at distance 0, so position 0 is not always self
+            # drop the self-match by ID (an exact-duplicate read can rank
+            # above self at distance 0, so position 0 is not always self)
+            # AND the -1/dist-0 padding the search emits when the graph
+            # returns fewer than k hits — written raw it would become
+            # neighbor 0xFFFFFFFF with similarity 1.0
             nq = ids.shape[0]
-            keep = ids != np.arange(nq, dtype=np.int64)[:, None]
-            extra = keep.sum(axis=1) == ids.shape[1]
-            keep[extra, -1] = False     # self absent: drop the worst hit
-            nn = ids[keep].reshape(nq, -1).astype(np.int32)
-            sim = (1.0 - dist)[keep].reshape(nq, -1)
+            keep = (ids >= 0) & (ids != np.arange(nq, dtype=np.int64)[:, None])
+            order = np.argsort(~keep, axis=1, kind="stable")
+            ids2 = np.take_along_axis(ids, order, axis=1)
+            sim2 = np.take_along_axis(1.0 - dist, order, axis=1)
+            col = np.arange(ids2.shape[1])[None, :]
+            valid = col < np.minimum(keep.sum(axis=1), k)[:, None]
+            nn = np.where(valid, ids2, 0)[:, :k].astype(np.int32)
+            sim = np.where(valid, sim2, -1.0)[:, :k].astype(np.float32)
             write_neighbor_dump(args.dumpfname + "-ann", nn, sim)
             print(f"hnsw graph -> {args.dumpfname}-ann.hnsw; "
-                  f"{args.nbng} neighbors/read -> {args.dumpfname}-ann")
+                  f"{k} neighbors/read -> {args.dumpfname}-ann")
         else:
             nn, dist = brute_force_neighbors(ordered, args.nbng)
             write_neighbor_dump(args.dumpfname + "-ann", nn, dist)

@@ -47,10 +47,12 @@ U64 = jnp.uint64
 F64 = jnp.float64
 
 SENTINEL32 = np.uint32(0xFFFFFFFF)
-_WALKS = 4  # fixed cycle-walk rounds: worst-case out-of-range residual
-            # (1/2)^5 ~ 3% ... for the worst dom/m just under 2; typical
-            # (m=200, dom=256) residual is 0.22^5 ~ 5e-4 of (item, slot)
-            # pairs, which clamp to m-1 — deterministic, estimator-negligible
+_WALKS = 4  # extra cycle-walk rounds AFTER the initial bijection, so each
+            # (item, slot) pair gets 1 + _WALKS = 5 independent draws; the
+            # out-of-range residual is p^5 with p = 1 - m/2^nbits: worst
+            # case (dom/m just under 2) (1/2)^5 ~ 3%, typical (m=200,
+            # dom=256) 0.22^5 ~ 5e-4 of pairs, which clamp to m-1 —
+            # deterministic and estimator-negligible
 
 
 def _perm_bits(m: int) -> int:

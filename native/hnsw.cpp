@@ -43,8 +43,22 @@ struct Hnsw {
     double level_mult = 0.0;     // 1 / ln(M)
 
     std::atomic<int64_t> count{0};
-    std::atomic<int64_t> entry{-1};
-    std::atomic<int32_t> max_level{-1};
+    // (entry, max_level) packed into ONE atomic word so concurrent readers
+    // always observe a consistent pair: publishing them as two separate
+    // atomics let an inserter see a raised max_level with the OLD entry
+    // node and walk layer_links above that node's level (OOB read).
+    // Layout: high 16 bits = max_level + 1, low 48 bits = entry + 1
+    // (zero value = "empty": entry -1 / level -1).
+    std::atomic<uint64_t> ep_state{0};
+
+    static uint64_t pack_ep(int64_t entry, int32_t max_level) {
+        return ((uint64_t)(uint32_t)(max_level + 1) << 48) |
+               ((uint64_t)(entry + 1) & 0xFFFFFFFFFFFFULL);
+    }
+    static void unpack_ep(uint64_t s, int64_t &entry, int32_t &max_level) {
+        entry = (int64_t)(s & 0xFFFFFFFFFFFFULL) - 1;
+        max_level = (int32_t)(s >> 48) - 1;
+    }
 
     // storage: vectors row-major (u32 or f32 share 4-byte cells)
     std::vector<uint32_t> data;          // capacity * dim
@@ -199,17 +213,17 @@ static void insert_one(Hnsw &h, int64_t node, std::vector<uint8_t> &visited,
                        uint8_t &mark) {
     int32_t lvl = h.levels[node];
     const uint32_t *q = h.vec(node);
-    int64_t ep = h.entry.load();
+    int64_t ep;
+    int32_t top;
+    Hnsw::unpack_ep(h.ep_state.load(), ep, top);
     if (ep < 0) {
         std::lock_guard<std::mutex> lk(h.global);
-        if (h.entry.load() < 0) {       // first node
-            h.entry.store(node);
-            h.max_level.store(lvl);
+        Hnsw::unpack_ep(h.ep_state.load(), ep, top);
+        if (ep < 0) {                   // first node
+            h.ep_state.store(Hnsw::pack_ep(node, lvl));
             return;
         }
-        ep = h.entry.load();
     }
-    int32_t top = h.max_level.load();
     // greedy descent through layers above lvl
     float d_ep = h.distance(q, h.vec(ep));
     for (int32_t layer = top; layer > lvl; --layer) {
@@ -238,12 +252,14 @@ static void insert_one(Hnsw &h, int64_t node, std::vector<uint8_t> &visited,
         for (const Cand &c : cands)
             if (c.d < best) { best = c.d; ep = c.id; }
     }
-    if (lvl > h.max_level.load()) {
+    int64_t cur_e;
+    int32_t cur_l;
+    Hnsw::unpack_ep(h.ep_state.load(), cur_e, cur_l);
+    if (lvl > cur_l) {
         std::lock_guard<std::mutex> lk(h.global);
-        if (lvl > h.max_level.load()) {
-            h.max_level.store(lvl);
-            h.entry.store(node);
-        }
+        Hnsw::unpack_ep(h.ep_state.load(), cur_e, cur_l);
+        if (lvl > cur_l)
+            h.ep_state.store(Hnsw::pack_ep(node, lvl));
     }
 }
 
@@ -332,9 +348,11 @@ void hnsw_search(void *p, const uint32_t *queries, int64_t nq, int32_t k,
             int64_t qi = next.fetch_add(1);
             if (qi >= nq) break;
             const uint32_t *q = queries + (size_t)qi * h.dim;
-            int64_t ep = h.entry.load();
+            int64_t ep;
+            int32_t toplvl;
+            Hnsw::unpack_ep(h.ep_state.load(), ep, toplvl);
             float d_ep = h.distance(q, h.vec(ep));
-            for (int32_t layer = h.max_level.load(); layer > 0; --layer) {
+            for (int32_t layer = toplvl; layer > 0; --layer) {
                 bool moved = true;
                 while (moved) {
                     moved = false;
@@ -383,8 +401,9 @@ int32_t hnsw_save(void *p, const char *path) {
     FILE *f = fopen(path, "wb");
     if (!f) return -1;
     int64_t count = h.count.load();
-    int64_t entry = h.entry.load();
-    int32_t maxl = h.max_level.load();
+    int64_t entry;
+    int32_t maxl;
+    Hnsw::unpack_ep(h.ep_state.load(), entry, maxl);
     uint32_t head32[7] = {HNSW_MAGIC, 1u, (uint32_t)h.dist_kind,
                           (uint32_t)h.dim, (uint32_t)h.M, (uint32_t)h.M0,
                           (uint32_t)h.ef_construction};
@@ -437,8 +456,7 @@ void *hnsw_load(const char *path) {
     fclose(f);
     if (!ok) { delete h; return nullptr; }
     h->count.store(count);
-    h->entry.store(entry);
-    h->max_level.store(maxl);
+    h->ep_state.store(Hnsw::pack_ep(entry, maxl));
     return h;
 }
 
