@@ -39,19 +39,34 @@ def build_parser():
                     help="accepted for parity; batching replaces threads")
     km.add_argument("-c", "--counter", type=int, default=8, dest="counter_size",
                     help="bits per count in the dump (8 or 16)")
-    km.add_argument("--capacity", type=int, default=1 << 25,
-                    help="device count-table capacity in distinct kmers "
-                         "(the reference's cuckoo capacity role, "
-                         "kmercount.rs:297-307)")
+    km.add_argument("--capacity", type=int, default=0,
+                    help="device count-table capacity in entries (the "
+                         "reference's cuckoo capacity role, "
+                         "kmercount.rs:297-307); 0 = size from the file")
     ret = sub.add_parser("ret", help="return times (reserved)")
     ret.add_argument("-b", "--base", type=str, default="A")
     return p
 
 
+def _auto_capacity(filename: str) -> int:
+    """Size the count table from the file: distinct kmers <= total kmers
+    ~ bases ~ half the FASTQ byte size (quality lines + headers are the
+    other half; gz estimated at 2.5x expansion).  Clamp to [2^20, 2^26]
+    entries and add 50% headroom for pending duplicate entries — overflow
+    drops largest keys with a warning, exactly like the reference's
+    capacity-bounded cuckoo (kmercount.rs:297-307)."""
+    import os
+    size = os.path.getsize(filename)
+    if filename.endswith(".gz"):
+        size = int(size * 2.5)
+    est_kmers = max(size // 2, 1)
+    cap = 1 << max(20, min(26, (int(est_kmers * 1.5) - 1).bit_length()))
+    return cap
+
+
 def main(argv=None):
     import kmerutils_tpu  # noqa: F401
     from ..io import fastx
-    from ..count import exact
     from ..io import formats
     from .. import stats
 
@@ -67,41 +82,48 @@ def main(argv=None):
                   file=sys.stderr)
             return 1
         import jax
-        # device-resident streaming accumulation: batches merge on device,
-        # records transfer to host once (parse-fastq's cuckoo-capacity role)
-        import jax.numpy as jnp
-        # 32-bit table keys for k <= 16 (canonical kmers fit u32): the
-        # capacity-sized table sorts run ~1.4x faster than u64-keyed
-        key_dtype = jnp.uint32 if k <= 16 else jnp.uint64
-        table = exact.DeviceCountTable.create(args.capacity, key_dtype)
-        inputs_fn = jax.jit(exact.batch_table_inputs, static_argnames=("k",))
+        from ..count import stream
+        # device-resident streaming accumulation: each batch is ONE Pallas
+        # merge fold (count/stream.py); records transfer to host once.
+        capacity = args.capacity or _auto_capacity(args.filename)
+        table = stream.StreamCountTable.create(capacity, wide=k > 16,
+                                               coords=True)
+        prep = jax.jit(stream.batch_entries,
+                       static_argnames=("k", "coords"))
         offset = 0
-        for batch, idx in fastx.read_batches(args.filename,
-                                             batch_reads=args.batch_reads,
-                                             stats=st, bucket=False):
+        pending: list = []   # backpressure: bound the async dispatch depth
+        for batch, idx in fastx.read_batches_overlapped(
+                args.filename, batch_reads=args.batch_reads,
+                stats=st, bucket=False):
             dist.record_batch(batch)
-            keys, counts, coord = inputs_fn(batch, k=k,
-                                            read_num_offset=offset)
-            table = exact.table_update(table, keys, counts, coord)
+            arrs, live = prep(batch, k=k, read_num_offset=offset,
+                              coords=True)
+            table = stream.fold(table, arrs, live)
             offset += len(idx)  # real reads only (batch may be shape-padded)
-        dropped = int(np.asarray(table.n_dropped))
-        if dropped:
-            print(f"WARNING: table capacity {args.capacity} exceeded; "
-                  f"{dropped} distinct kmers dropped (raise --capacity)",
-                  file=sys.stderr)
+            pending.append(table.used)
+            if len(pending) > 2:
+                # host fetch of a scalar from 2 folds ago: bounds the async
+                # dispatch depth (block_until_ready does not block on the
+                # axon backend — a fetch does)
+                int(np.asarray(pending.pop(0)))
         if args.count:
-            keys, counts, frn, fps = exact.table_finalize(table, min_count=2)
-            order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
-                               | fps, kind="stable")  # scan order
+            keys, counts, frn, fps, dropped = stream.finalize(
+                table, min_count=2)
+        else:
+            keys, counts, frn, fps, dropped = stream.finalize(table, 1, 1)
+        if dropped:
+            print(f"WARNING: table capacity {capacity} exceeded; "
+                  f"{dropped} entries dropped (raise --capacity)",
+                  file=sys.stderr)
+        order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
+                           | fps, kind="stable")  # scan order
+        if args.count:
             out = args.filename + ".multi_kmer.bin"
             bpc = 1 if args.counter_size <= 8 else 2
             n = formats.write_multiple_kmer_dump(
                 out, k, keys[order], counts[order], bytes_per_count=bpc)
             print(f"dumped {n} multiple kmers to {out}")
         else:
-            keys, counts, frn, fps = exact.table_finalize(table, 1, 1)
-            order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
-                               | fps, kind="stable")
             out = args.filename + ".once_kmer.bin"
             formats.write_unique_kmer_dump(out, k, keys[order], frn[order],
                                            fps[order])

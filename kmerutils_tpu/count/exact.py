@@ -336,130 +336,6 @@ def table_finalize(table: DeviceCountTable, min_count: int = 1,
 
 
 # ---------------------------------------------------------------------------
-# merge-based streaming table: O(n log n) folds, compaction on demand
-# ---------------------------------------------------------------------------
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class MergeCountTable:
-    """Streaming count table folded by bitonic MERGE instead of re-sorting.
-
-    Invariant: ``keys`` ascending with trailing sentinels; DUPLICATE keys
-    are allowed (each carries a partial count and its own first-occurrence
-    coordinate) — a fold is one O(S log S) payload-carrying merge
-    (ops/merge.py) with duplicates aggregated only when the slot budget
-    runs low (:func:`merge_table_compact`) and at finalize.  Overflow drops
-    the LARGEST keys deterministically, counted per distinct key in
-    ``n_dropped`` (slot-granularity bound, so the drop point can differ
-    from DeviceCountTable's by the number of not-yet-aggregated
-    duplicates).
-
-    STATUS: numerically verified on CPU and TPU, but the XLA roll-based
-    merge stages each round-trip HBM (measured 3.2 s per fold at 2^25
-    capacity vs 991 ms for the fused-sort table_update, whose comparator
-    passes XLA keeps in VMEM).  The sort-based :class:`DeviceCountTable`
-    remains the production path; the win here requires a hierarchical
-    Pallas merge kernel (global strides as strided block passes, strides
-    below the tile width fused into one VMEM-resident pass).
-
-    slots: static capacity in ENTRIES (aggregated table rows + pending
-    duplicates).  Size it ~capacity + a few batches of headroom.
-    """
-
-    keys: jax.Array      # u64 [S] ascending, sentinel padded
-    counts: jax.Array    # i64 [S]
-    coord: jax.Array     # u64 [S] (read << 32 | pos), sentinel on dead
-    n_dropped: jax.Array
-
-    @staticmethod
-    def create(slots: int) -> "MergeCountTable":
-        return MergeCountTable(
-            keys=jnp.full(slots, SENTINEL64, U64),
-            counts=jnp.zeros(slots, jnp.int64),
-            coord=jnp.full(slots, SENTINEL64, U64),
-            n_dropped=jnp.zeros((), jnp.int64))
-
-
-def batch_table_inputs_sorted(batch: ReadBatch, k: int, read_num_offset):
-    """Dense-sorted (keys u64, counts, coord) for merge-based folds: run
-    starts compacted to the front by one batch-sized 2-key sort (the
-    capacity-sized re-sort this replaces ran on every fold)."""
-    keys, counts, coord = batch_table_inputs(batch, k, read_num_offset)
-    live = keys != sentinel_of(keys.dtype)
-    keys = jnp.where(live, keys.astype(U64), SENTINEL64)
-    sk, so, sc = jax.lax.sort((keys, coord, counts.astype(jnp.int64)),
-                              num_keys=2)
-    n_live = (sk != SENTINEL64).sum()
-    return sk, sc, so, n_live
-
-
-@jax.jit
-def merge_table_fold(table: MergeCountTable, keys, counts, coord):
-    """Fold one batch (dense-sorted triple) into the table by ONE merge.
-
-    Returns the new table; duplicates accumulate as separate entries until
-    compaction.  Entries beyond the slot budget are dropped from the tail
-    (largest keys), counted by distinct key.
-    """
-    from ..ops.merge import merge_sorted
-    S = table.keys.shape[0]
-    mk, mo, (mc,) = merge_sorted(
-        table.keys, jnp.asarray(keys, U64),
-        payloads_a=(table.counts,),
-        payloads_b=(jnp.asarray(counts).astype(jnp.int64),),
-        secondary_a=table.coord, secondary_b=jnp.asarray(coord, U64))
-    is_real = mk != SENTINEL64
-    new_run = jnp.concatenate([jnp.ones((1,), bool),
-                               mk[1:] != mk[:-1]]) & is_real
-    # distinct keys whose ENTIRE run lies in the dropped tail
-    T = mk.shape[0]
-    idx = jnp.arange(T)
-    dropped = (new_run & (idx >= S)).sum().astype(jnp.int64)
-    return MergeCountTable(keys=mk[:S], counts=mc[:S], coord=mo[:S],
-                           n_dropped=table.n_dropped + dropped)
-
-
-@jax.jit
-def merge_table_compact(table: MergeCountTable) -> "MergeCountTable":
-    """Aggregate duplicate keys (sum counts, min coordinate) and compact
-    live rows to the front — the sort-based pass the merge fold defers."""
-    sk, so, sc = table.keys, table.coord, table.counts
-    is_real = sk != SENTINEL64
-    new_run = jnp.concatenate([jnp.ones((1,), bool),
-                               sk[1:] != sk[:-1]]) & is_real
-    nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
-    nxt_real = jnp.concatenate([is_real[1:], jnp.zeros((1,), bool)])
-    is_end = is_real & (nxt_new | ~nxt_real)
-    S_ = jnp.cumsum(sc)
-    end_s = jax.lax.cummin(
-        jnp.where(is_end, S_, jnp.iinfo(jnp.int64).max)[::-1])[::-1]
-    total = end_s - S_ + sc
-    # merge invariant orders runs by (key, coord): the run start carries the
-    # minimum (first-occurrence) coordinate
-    ok, oc, oo = jax.lax.sort(
-        (jnp.where(new_run, sk, SENTINEL64),
-         jnp.where(new_run, total, 0),
-         jnp.where(new_run, so, SENTINEL64)), num_keys=1)
-    return MergeCountTable(keys=ok, counts=oc, coord=oo,
-                           n_dropped=table.n_dropped)
-
-
-@jax.jit
-def merge_table_used(table: MergeCountTable):
-    """Occupied entries (live rows incl. pending duplicates)."""
-    return (table.keys != SENTINEL64).sum()
-
-
-def merge_table_finalize(table: MergeCountTable, min_count: int = 1,
-                         max_count: int | None = None):
-    """Compact, then filter + ONE host transfer (table_finalize parity)."""
-    table = merge_table_compact(table)
-    proxy = DeviceCountTable(keys=table.keys, counts=table.counts,
-                             coord=table.coord, n_dropped=table.n_dropped)
-    return table_finalize(proxy, min_count, max_count)
-
-
-# ---------------------------------------------------------------------------
 # host-side merge across device batches (streaming files larger than HBM)
 # ---------------------------------------------------------------------------
 

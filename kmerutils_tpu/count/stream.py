@@ -1,0 +1,287 @@
+"""Streaming whole-file counting: merge-fold device table.
+
+The round-1 DeviceCountTable (count/exact.py) re-sorts capacity+batch
+elements with two payloads on EVERY batch fold (991 ms at 2^25 capacity on
+v5e) — the wall-clock ceiling of `parsefastq --count` at file scale.  This
+module replaces the fold with the Pallas merge-path kernel
+(ops/merge_pallas.py):
+
+  batch      ->  one flat sort of the batch's canonical kmers (raw entries,
+                 count 1 each — no per-batch aggregation pass)
+  fold       ->  ONE O(n) hierarchical merge of (table, batch); duplicate
+                 keys coexist as separate entries
+  compact    ->  when entries approach capacity: aggregation scans (run
+                 totals, first-occurrence coords) + the Pallas butterfly
+                 concentrator moves live entries to the front
+  finalize   ->  compact + count-range filter on device, ONE host transfer
+
+The reference counterpart is the cuckoo+counting-bloom insert loop and its
+threaded drivers (/root/reference/src/base/kmercount.rs:241-267,881-974);
+counts here are exact (saturating at 2^32-1 — far beyond the reference's
+8/16-bit dump saturation), and overflow beyond capacity drops the LARGEST
+keys deterministically, counted in ``n_dropped`` (entry granularity: a
+dropped entry may be a duplicate of a surviving key, so the distinct-key
+drop count is <= n_dropped; any surviving largest key may then undercount).
+
+Table entry layout (all uint32 arrays of length S):
+  k <= 16 ("u32 keys"):  (key, cnt[, coord_hi, coord_lo])
+  k 17..32 ("u64 keys"): (key_hi, key_lo, cnt[, coord_hi, coord_lo])
+The merge compares the first 2 words lexicographically.  u64 keys are
+stored BIASED by +1 so no live entry compares equal to all-zeros (the
+merge kernel's alignment fakes sit there); u32 keys need no bias because
+the count word (>= 1) is part of the compare pair.  Dead slots carry
+all-ones in every word.  Within a run of equal keys, entries stay ordered
+by first occurrence only until a merge reorders ties, so aggregation
+computes the run coordinate as a segmented MIN, not the run head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base.sequence import ReadBatch
+from ..base import kmer as kmer_mod
+from ..ops.merge_pallas import merge_sorted_u32, compact_live_u32
+
+U32 = jnp.uint32
+U64 = jnp.uint64
+I64 = jnp.int64
+SENT32 = np.uint32(0xFFFFFFFF)
+SENT64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# one batch is capped at 8M padded bases (io/fastx.read_batches); the
+# auto-compact threshold keeps this much headroom so a fold can never
+# overflow between compactions
+BATCH_CAP = 9 << 20
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamCountTable:
+    """Sorted entry table with pending duplicates (see module docstring).
+
+    arrs:      tuple of uint32 [S] entry words.
+    used:      int32 — occupied entries (live rows incl. duplicates).
+    n_dropped: int64 — entries dropped past capacity (largest keys first).
+    """
+
+    arrs: tuple
+    used: jax.Array
+    n_dropped: jax.Array
+
+    # pytree-static config
+    wide: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    coords: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.arrs[0].shape[0]
+
+    @staticmethod
+    def create(capacity: int, wide: bool, coords: bool) -> "StreamCountTable":
+        narr = (3 if wide else 2) + (2 if coords else 0)
+        return StreamCountTable(
+            arrs=tuple(jnp.full(capacity, SENT32, U32) for _ in range(narr)),
+            used=jnp.zeros((), jnp.int32),
+            n_dropped=jnp.zeros((), I64),
+            wide=wide, coords=coords)
+
+
+def _window(narr: int) -> int:
+    # VMEM budget: 2*narr scratch + narr out blocks of window i32 words
+    return 1 << 18 if narr <= 3 else 1 << 17
+
+
+def batch_entries(batch: ReadBatch, k: int, read_num_offset,
+                  coords: bool = False):
+    """One batch's raw sorted entries for :func:`fold`.
+
+    Returns (arrs, n_live): uint32 arrays [n*p] in table layout, sorted,
+    one entry per valid kmer position (count 1 each; u64 keys biased +1).
+    read_num_offset may be a traced scalar.
+    """
+    can, valid, _ = kmer_mod.canonical_kmers(batch, k)
+    n, p = can.shape
+    wide = can.dtype == U64
+    flatv = jnp.ravel(valid)
+    if wide:
+        keys = jnp.where(flatv, jnp.ravel(can) + U64(1), SENT64)
+    else:
+        keys = jnp.where(flatv, jnp.ravel(can), SENT32)
+    if coords:
+        idx = jnp.arange(n * p, dtype=jnp.int32)
+        sk, perm = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
+        live = sk != (SENT64 if wide else SENT32)
+        rn = (perm // p).astype(U32) + jnp.asarray(read_num_offset, U32)
+        ps = (perm % p).astype(U32)
+        chi = jnp.where(live, rn, SENT32)
+        clo = jnp.where(live, ps, SENT32)
+    else:
+        sk = jnp.sort(keys)
+        live = sk != (SENT64 if wide else SENT32)
+    cnt = jnp.where(live, U32(1), SENT32)
+    if wide:
+        arrs = ((sk >> U64(32)).astype(U32), sk.astype(U32), cnt)
+    else:
+        arrs = (sk.astype(U32), cnt)
+    if coords:
+        arrs = arrs + (chi, clo)
+    return arrs, live.sum().astype(jnp.int32)
+
+
+def _scan64(x, op, identity):
+    """Inclusive prefix scan via explicit log-stride (Hillis-Steele)
+    passes.  lax.cummin/cumsum on 64-bit values lower to VARIADIC
+    (hi, lo)-pair reduce-windows on TPU, which blow the scoped-VMEM limit
+    at many shapes; log2(n) elementwise passes always compile."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [jnp.full((min(d, n),), identity, x.dtype), x[:-d]])
+        x = op(x, shifted)
+        d *= 2
+    return x
+
+
+def _suffix_min64(x):
+    return _scan64(x[::-1], jnp.minimum, jnp.iinfo(x.dtype).max)[::-1]
+
+
+def _aggregate(table: StreamCountTable) -> StreamCountTable:
+    """Sum duplicate-key entries into their run starts; duplicates become
+    dead (all-ones) slots in place.  Coordinates aggregate by segmented
+    min (first occurrence).  Keeps arrays sorted with holes — follow with
+    the Pallas compaction."""
+    a = table.arrs
+    key_words = 2 if table.wide else 1
+    live = a[0] != SENT32
+    eq = jnp.ones_like(live)
+    for w in range(key_words):
+        eq = eq & jnp.concatenate(
+            [jnp.zeros((1,), bool), a[w][1:] == a[w][:-1]])
+    new_run = live & ~eq
+    nxt_live = jnp.concatenate([live[1:], jnp.zeros((1,), bool)])
+    nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
+    is_end = live & (nxt_new | ~nxt_live)
+    cnt_w = a[key_words]
+    cnt64 = jnp.where(live, cnt_w.astype(I64), 0)
+    csum = _scan64(cnt64, jnp.add, 0)
+    end_s = _suffix_min64(jnp.where(is_end, csum, jnp.iinfo(I64).max))
+    total = end_s - csum + cnt64                 # valid at run starts
+    total_sat = jnp.minimum(total, I64(0xFFFFFFFF)).astype(U32)
+
+    out = [jnp.where(new_run, a[w], SENT32) for w in range(key_words)]
+    out.append(jnp.where(new_run, total_sat, SENT32))
+    if table.coords:
+        # Segmented suffix-min of (rn, ps) WITHOUT associative_scan (its
+        # tuple-carry lowering blows scoped VMEM on TPU): pack
+        # (segment_id << 32 | value) into i64 — segment ids increase left
+        # to right, so a plain suffix cummin can never leak a later
+        # segment's value into an earlier one.  Two passes: min read_num
+        # per run, then min pos among the min-read entries.
+        seg = jnp.cumsum(new_run.astype(jnp.int32)).astype(I64)
+        big = I64(0xFFFFFFFF)
+        rn = a[key_words + 1].astype(I64)
+        ps = a[key_words + 2].astype(I64)
+
+        def seg_suffix_min(vals):
+            p = (seg << I64(32)) | vals
+            return _suffix_min64(p) & big
+
+        min_rn = seg_suffix_min(jnp.where(live, rn, big))
+        # broadcast each run's min (valid at its start) forward over the
+        # run: max-scan of (seg << 32 | min_rn)@starts is monotone in seg
+        fill = _scan64(jnp.where(new_run, (seg << I64(32)) | min_rn, 0),
+                       jnp.maximum, 0)
+        run_min_rn = fill & big
+        min_ps = seg_suffix_min(
+            jnp.where(live & (rn == run_min_rn), ps, big))
+        out.append(jnp.where(new_run, min_rn.astype(U32), SENT32))
+        out.append(jnp.where(new_run, min_ps.astype(U32), SENT32))
+    return StreamCountTable(arrs=tuple(out), used=table.used,
+                            n_dropped=table.n_dropped,
+                            wide=table.wide, coords=table.coords)
+
+
+def _compact(table: StreamCountTable) -> StreamCountTable:
+    agg = _aggregate(table)
+    outs, n_live = compact_live_u32(agg.arrs)
+    outs = tuple(o[: table.capacity] for o in outs)
+    return StreamCountTable(arrs=outs, used=n_live,
+                            n_dropped=table.n_dropped,
+                            wide=table.wide, coords=table.coords)
+
+
+@jax.jit
+def fold(table: StreamCountTable, batch_arrs, batch_live):
+    """Merge one batch's sorted entries into the table (one Pallas merge);
+    auto-compacts on device when occupancy approaches capacity, so a
+    stream of folds never needs host synchronization."""
+    S = table.capacity
+
+    def do_fold(t):
+        merged = merge_sorted_u32(t.arrs, batch_arrs, ncmp=2,
+                                  window=_window(len(t.arrs)))
+        arrs = tuple(m[:S] for m in merged)
+        used = t.used + batch_live
+        dropped = jnp.maximum(used - S, 0).astype(I64)
+        return StreamCountTable(arrs=arrs,
+                                used=jnp.minimum(used, S),
+                                n_dropped=t.n_dropped + dropped,
+                                wide=t.wide, coords=t.coords)
+
+    headroom = min(BATCH_CAP, S // 2)    # small (test-sized) tables compact
+    #                                      at half occupancy instead
+    need = table.used + batch_live > S - headroom
+    table = jax.lax.cond(need, _compact, lambda t: t, table)
+    return do_fold(table)
+
+
+@jax.jit
+def compact(table: StreamCountTable) -> StreamCountTable:
+    return _compact(table)
+
+
+def finalize(table: StreamCountTable, min_count: int = 1,
+             max_count: int | None = None):
+    """Aggregate + compact + filter on device, then ONE host transfer.
+
+    Returns numpy (keys u32/u64 UNBIASED, counts u32, read_nums u32,
+    positions u32) ascending by key (read_nums/positions all-zero when the
+    table tracks no coordinates).
+    """
+    @functools.partial(jax.jit, static_argnames=("lo", "hi"))
+    def run(t, lo, hi):
+        t = _compact(t)
+        kw = 2 if t.wide else 1
+        cnt = t.arrs[kw]
+        live = t.arrs[0] != SENT32
+        sel = live & (cnt >= U32(lo))
+        if hi is not None:
+            sel &= cnt <= U32(hi)
+        masked = tuple(jnp.where(sel, a, SENT32) for a in t.arrs)
+        outs, n = compact_live_u32(masked)
+        return outs, n, t.n_dropped
+
+    outs, n, dropped = run(table, min_count, max_count)
+    n = int(n)
+    host = [np.asarray(o[:n]) for o in outs]
+    kw = 2 if table.wide else 1
+    if table.wide:
+        keys = ((host[0].astype(np.uint64) << np.uint64(32))
+                | host[1]) - np.uint64(1)        # un-bias
+    else:
+        keys = host[0]
+    counts = host[kw]
+    if table.coords:
+        rn, ps = host[kw + 1], host[kw + 2]
+    else:
+        rn = np.zeros(n, np.uint32)
+        ps = np.zeros(n, np.uint32)
+    return keys, counts, rn, ps, int(dropped)

@@ -243,6 +243,41 @@ def read_batches(path: str, batch_reads: int = 10000,
     yield from flush()
 
 
+def read_batches_overlapped(path: str, queue_depth: int = 3, **kw):
+    """read_batches through a bounded producer thread, so host parsing and
+    batch assembly overlap with device compute (the role of the reference's
+    producer->consumer channel pipeline, kmercount.rs:881-974: one
+    generator thread feeding bounded channels).
+
+    The native parser and gzip decompression release the GIL during C
+    calls, so the producer genuinely runs while jax dispatches.  A stats=
+    kwarg is filled by the producer BEFORE the stream ends, so reading it
+    after exhaustion is safe.
+    """
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in read_batches(path, **kw):
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface parse errors in the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def load_all(path: str, stats: IngestStats | None = None):
     """Load a whole (small) file into one ReadBatch — test convenience."""
     reads = list(iter_clean_reads(path, stats))

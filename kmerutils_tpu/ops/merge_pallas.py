@@ -1,0 +1,449 @@
+"""Hierarchical merge of two sorted arrays — Pallas TPU kernel.
+
+The streaming count table folds a sorted batch into a sorted capacity-sized
+table (count/stream.py).  An XLA ``lax.sort`` of capacity+batch costs the
+full O(n log^2 n) comparator network (measured 991 ms at 42M x 3 operands on
+v5e); an XLA roll-based bitonic MERGE is O(n log n) compares but each of its
+log n stages round-trips HBM (measured 3.2 s — see the retired ops/merge.py
+note).  The merge only wins when the whole stage stack runs in VMEM:
+
+  1. XLA prologue: merge-path partition (Green et al.) — a vectorized binary
+     search finds, for every output tile of T elements, how many come from A
+     and how many from B.  Each tile's work is then INDEPENDENT and exactly T.
+  2. Pallas kernel, grid over output tiles: DMA the two segments (<= T each)
+     from HBM at dynamic offsets, run ONE elementwise half-cleaner of the
+     bitonic sequence [A_seg asc | reversed B_seg] — after which the low half
+     holds the T real elements and is itself bitonic — then log2(T)
+     compare-exchange stages via static lane/sublane rolls, all VMEM-resident.
+
+Total traffic: one HBM read + one write per element, plus ~log2(T) VPU ops —
+two orders of magnitude less HBM traffic than the XLA alternatives.
+
+Array model: every operand is uint32.  The first ``ncmp`` (1 or 2) arrays are
+compare keys (lexicographic, unsigned); the rest ride as payloads.  64-bit
+keys travel as (hi, lo) u32 pairs with ncmp=2.  Mosaic has no unsigned
+compares, so keys are XOR-flipped into signed i32 order outside the kernel.
+
+The reference counterpart of the consumer is the cuckoo+bloom fold of
+/root/reference/src/base/kmercount.rs:241-267; this file is pure machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+U32 = jnp.uint32
+SENT32 = np.uint32(0xFFFFFFFF)
+_FLIP = np.uint32(0x80000000)
+_IMAX = np.int32(0x7FFFFFFF)
+
+
+def _interpret() -> bool:
+    """Mosaic kernels run for real only on TPU; the CPU test mesh (and any
+    other backend) uses the Pallas interpreter (SURVEY.md §4 strategy)."""
+    return jax.default_backend() != "tpu"
+
+
+def _flip_s(x):
+    """uint32 -> int32 preserving unsigned order (sign-bit flip)."""
+    return (jnp.asarray(x, U32) ^ _FLIP).astype(I32)
+
+
+def _unflip_s(x):
+    return (jnp.asarray(x).astype(U32) ^ _FLIP).astype(U32)
+
+
+def merge_path_partition(a_packed, b_packed, T: int, n_tiles: int):
+    """a_start[t] for every output tile boundary: the stable (A-first) merge
+    of a_packed and b_packed assigns elements [t*T, (t+1)*T) of the output
+    the A-range [a_start[t], a_start[t+1]) and the B-range holding the rest.
+
+    a_packed/b_packed: 1-D ascending arrays of one comparable dtype (pack
+    (hi, lo) pairs into uint64 before calling).  Returns int32 [n_tiles+1].
+    """
+    na = a_packed.shape[0]
+    nb = b_packed.shape[0]
+    d = jnp.arange(n_tiles + 1, dtype=I32) * I32(T)
+    if na == 0 or nb == 0:
+        return jnp.minimum(d, I32(na))
+    lo = jnp.maximum(d - I32(nb), 0)
+    hi = jnp.minimum(d, I32(na))
+    iters = max(int(na).bit_length(), 1)
+    # P(x) = "x elements of A may precede": a[x-1] <= b[d-x], edges true.
+    # P is monotone (true ... true false ... false); find the largest true.
+    for _ in range(iters):
+        mid = (lo + hi + I32(1)) >> 1
+        av = jnp.take(a_packed, jnp.clip(mid - 1, 0, na - 1), mode="clip")
+        bv = jnp.take(b_packed, jnp.clip(d - mid, 0, nb - 1), mode="clip")
+        ok = (mid <= lo) | (d - mid >= nb) | (av <= bv)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+    return lo
+
+
+def _cmp_lt(ak, bk, ncmp):
+    """Lexicographic (b < a) on the first ncmp arrays (signed domain)."""
+    if ncmp == 1:
+        return bk[0] < ak[0]
+    return (bk[0] < ak[0]) | ((bk[0] == ak[0]) & (bk[1] < ak[1]))
+
+
+def _bitonic_stages(arrs, ncmp, R):
+    """Sort a bitonic [R, 128] sequence ascending (flat row-major order):
+    log2(R*128) compare-exchange stages, strides materialized as static
+    rolls (sublane rolls on axis 0, lane rolls on axis 1) — no gathers, no
+    sub-tile reshapes."""
+    T = R * 128
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    s = T // 2
+    while s >= 1:
+        if s >= 128:
+            axis, amt = 0, s // 128
+            high = (row & I32(s // 128)) != 0   # bit test: row // m odd
+        else:
+            axis, amt = 1, s
+            high = (col & I32(s)) != 0
+        pk = [jnp.where(high, jnp.roll(x, amt, axis=axis),
+                        jnp.roll(x, -amt, axis=axis)) for x in arrs]
+        self_gt = _cmp_lt(arrs, pk, ncmp)       # partner < self
+        part_gt = _cmp_lt(pk, arrs, ncmp)       # self < partner
+        # logical combine, not where(bool, bool, bool) — Mosaic cannot
+        # truncate the i8 select result back to i1
+        take = (high & part_gt) | (~high & self_gt)
+        arrs = [jnp.where(take, p, x) for x, p in zip(arrs, pk)]
+        s //= 2
+    return arrs
+
+
+_Q = 1024   # Mosaic DMA alignment for i32 HBM slices (one (8,128) tile)
+_IMIN = np.int32(-0x80000000)
+
+
+def _rotate_flat(x, nf, R):
+    """Left-rotate the row-major flattening of x [R, 128] by nf (dynamic,
+    0 <= nf < R*128): out[flat] = x[flat + nf].  Two row-rolls blended at
+    the lane seam (a flat rotation is not a single 2-D rotation)."""
+    r0 = nf >> I32(7)
+    c0 = nf & I32(127)
+    y1 = pltpu.roll(x, (I32(R) - r0) & I32(R - 1), axis=0)
+    y2 = pltpu.roll(x, (I32(R) - r0 - 1) & I32(R - 1), axis=0)
+    lane_shift = (I32(128) - c0) & I32(127)
+    z1 = pltpu.roll(y1, lane_shift, axis=1)
+    z2 = pltpu.roll(y2, lane_shift, axis=1)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    return jnp.where(col < I32(128) - c0, z1, z2)
+
+
+def _merge_kernel(astart_ref, *refs, narr, ncmp, P, nb_p):
+    """One output tile of T = P - 2*_Q merged elements.
+
+    Exact merge-path splits are element-granular but HBM DMA offsets must
+    be _Q-aligned, so each side loads a P-element window starting at its
+    exact split rounded DOWN to _Q.  In-kernel masks shape each window into
+    a monotone sequence: positions BEFORE the exact range become -inf
+    fakes (they stay at the front and are rotated away at the end —
+    callers guarantee no real entry compares equal to all-zeros, so fakes
+    sort STRICTLY below every real entry and never displace one), and
+    positions AFTER it become +inf (discarded with the high half).  B refs
+    hold the B arrays REVERSED (Mosaic has no in-kernel ``rev``): the
+    forward window [y, y+P) is the reversed-array slice starting at
+    nb_p - y and arrives exactly as the descending tail the bitonic
+    half-cleaner wants.
+    """
+    T = P - 2 * _Q
+    R = P // 128
+    a_refs = refs[:narr]
+    b_refs = refs[narr : 2 * narr]
+    out_refs = refs[2 * narr : 3 * narr]
+    scr = refs[3 * narr : 5 * narr]          # a scratch x narr, b scratch x narr
+    sems = refs[5 * narr]
+    t = pl.program_id(0)
+    d0 = t * I32(T)
+    x0 = astart_ref[t]
+    x1 = astart_ref[t + 1]
+    y0 = d0 - x0
+    y1_ = d0 + I32(T) - x1
+    xq = (x0 >> I32(10)) << I32(10)          # aligned a-window start
+    yq = (y0 >> I32(10)) << I32(10)          # aligned b-window start
+    a_off = pl.multiple_of(xq, _Q)
+    b_off = pl.multiple_of(I32(nb_p) - yq, _Q)   # reversed-array offset
+
+    copies = []
+    for j in range(narr):
+        c = pltpu.make_async_copy(a_refs[j].at[pl.ds(a_off, P)], scr[j],
+                                  sems.at[j])
+        c.start()
+        copies.append(c)
+        c = pltpu.make_async_copy(b_refs[j].at[pl.ds(b_off, P)], scr[narr + j],
+                                  sems.at[narr + j])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    flat = row * I32(128) + col
+    av = [scr[j][:].reshape(R, 128) for j in range(narr)]
+    bf = [scr[narr + j][:].reshape(R, 128) for j in range(narr)]
+    # exact element ranges within the aligned windows
+    ka0, ka1 = x0 - xq, x1 - xq
+    kb0, kb1 = y0 - yq, y1_ - yq
+    for j in range(ncmp):
+        # av: [-inf fakes | reals ascending | +inf] — still ascending
+        av[j] = jnp.where(flat < ka0, _IMIN,
+                          jnp.where(flat >= ka1, _IMAX, av[j]))
+        # bf is reversed: forward position q sits at P-1-q, so the window
+        # prefix (q < kb0 -> -inf) masks the BACK and the suffix
+        # (q >= kb1 -> +inf) masks the FRONT — still descending
+        bf[j] = jnp.where(flat < I32(P) - kb1, _IMAX,
+                          jnp.where(flat >= I32(P) - kb0, _IMIN, bf[j]))
+    # half-cleaner of [A asc | B desc]: partner pairs are elementwise
+    # between A and reversed B; the low half holds the P smallest —
+    # nf fakes + all T reals — and is itself bitonic
+    take_b = _cmp_lt(av, bf, ncmp)              # strict: tie keeps A (stable)
+    low = [jnp.where(take_b, b, a) for a, b in zip(av, bf)]
+    merged = _bitonic_stages(low, ncmp, R)
+    nf = ka0 + kb0
+    for j in range(narr):
+        rot = _rotate_flat(merged[j], nf, R)
+        # first T elements = the first T/128 full rows (row-major layout)
+        out_refs[j][:] = rot[: T // 128, :].reshape(T)
+
+
+@functools.partial(jax.jit, static_argnames=("ncmp", "window"))
+def merge_sorted_u32(a_arrs, b_arrs, ncmp: int = 1, window: int = 1 << 18):
+    """Merge sorted A-arrays with sorted B-arrays (stable, A first on ties).
+
+    a_arrs, b_arrs: tuples of 1-D uint32 arrays (equal lengths within each
+    side).  The first ``ncmp`` arrays of each side are the compare keys in
+    lexicographic unsigned order (pad tails with all-ones sentinels — they
+    sort last); the remaining arrays are payloads.  ``window`` is the
+    power-of-two per-tile VMEM window; each tile emits window - 2048
+    merged elements.  Returns a tuple of uint32 arrays of length
+    n_tiles * (window - 2048) >= len_a + len_b; slots past the real
+    merged length carry sentinel keys.
+
+    CONSTRAINT: no real entry may compare equal to all-zeros across the
+    ncmp compare words (the alignment-window fakes sit at unsigned zero
+    and must sort strictly below every real entry).  Count tables satisfy
+    this with counts >= 1 in the compare pair or a +1 key bias.
+    """
+    assert 1 <= ncmp <= 2 and len(a_arrs) == len(b_arrs)
+    narr = len(a_arrs)
+    P = window
+    T = P - 2 * _Q
+    a_arrs = [jnp.asarray(x, U32) for x in a_arrs]
+    b_arrs = [jnp.asarray(x, U32) for x in b_arrs]
+    na, nb = a_arrs[0].shape[0], b_arrs[0].shape[0]
+    na_al = -(-na // _Q) * _Q            # DMA offsets must be _Q-aligned
+    n_tiles = -(-(na_al + nb) // T)
+    nb_p = n_tiles * T - na_al           # b padded length (multiple of _Q)
+
+    def prep(x, is_cmp, total, rev):
+        fill = SENT32 if is_cmp else np.uint32(0)
+        x = jnp.concatenate([x, jnp.full((total + P - x.shape[0],), fill,
+                                         U32)])
+        x = _flip_s(x) if is_cmp else x.astype(I32)
+        return x[::-1] if rev else x
+
+    a_in = [prep(x, j < ncmp, na_al, False) for j, x in enumerate(a_arrs)]
+    # B travels reversed (Mosaic cannot lower rev inside the kernel); the
+    # kernel slices windows from the back
+    b_in = [prep(x, j < ncmp, nb_p, True) for j, x in enumerate(b_arrs)]
+
+    # partition over the aligned-padded key arrays (sentinel pads are
+    # elements too; they sort last and surface as dead slots)
+    if ncmp == 2:
+        ap = ((_unflip_s(a_in[0][:na_al]).astype(jnp.uint64) << np.uint64(32))
+              | _unflip_s(a_in[1][:na_al]))
+        bp = ((_unflip_s(b_in[0][::-1][:nb_p]).astype(jnp.uint64)
+               << np.uint64(32)) | _unflip_s(b_in[1][::-1][:nb_p]))
+    else:
+        ap = _unflip_s(a_in[0][:na_al])
+        bp = _unflip_s(b_in[0][::-1][:nb_p])
+    a_starts = merge_path_partition(ap, bp, T, n_tiles).astype(I32)
+
+    kern = functools.partial(_merge_kernel, narr=narr, ncmp=ncmp, P=P,
+                             nb_p=nb_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * narr),
+        out_specs=[pl.BlockSpec((T,), lambda i, astart: (i,),
+                                memory_space=pltpu.VMEM)] * narr,
+        scratch_shapes=[pltpu.VMEM((P,), I32)] * (2 * narr)
+        + [pltpu.SemaphoreType.DMA((2 * narr,))],
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((n_tiles * T,), I32)] * narr,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(a_starts, *a_in, *b_in)
+    return tuple(_unflip_s(o) if j < ncmp else o.astype(U32)
+                 for j, o in enumerate(outs))
+
+
+# ---------------------------------------------------------------------------
+# stable compaction: butterfly concentrator + dynamic-offset output DMA
+# ---------------------------------------------------------------------------
+
+def _compact_kernel(off_ref, *refs, narr, T):
+    """Move live entries (key != sentinel) of each T-tile stably to the
+    front, then DMA the tile to the output at its global live offset.
+
+    Local routing is a butterfly concentrator: log2(T) stages of stride
+    2^b pair-swaps, LSB first.  A pair swaps when either occupant's
+    destination (its global live rank) disagrees with its current position
+    in bit b; for a monotone rank assignment this is conflict-free (the
+    classic banyan concentration property — validated by exhaustive
+    simulation in tests).  O(log T) work instead of a local sort's
+    O(log^2 T).
+
+    Output DMA offsets must be _Q-aligned, so each tile writes a 2T-element
+    window at align_down(off[t]): the first off[t] - base positions are
+    READ BACK from the output (the previous tile's partial trailing block —
+    the sequential grid plus in-kernel waits order the DMAs), the tile's
+    live entries follow, and the garbage tail is overwritten by the next
+    tile's window.  The caller masks the final tail.
+    """
+    R = T // 128
+    in_refs = refs[:narr]
+    rank_ref = refs[narr]
+    out_refs = refs[narr + 1 : 2 * narr + 1]
+    scr = refs[2 * narr + 1 : 3 * narr + 1]           # (2T,) write staging
+    rb = refs[3 * narr + 1 : 4 * narr + 1]            # (_Q,) readback
+    sems = refs[4 * narr + 1]
+    t = pl.program_id(0)
+    off = off_ref[t]
+    base = pl.multiple_of((off >> I32(10)) << I32(10), _Q)
+    gap = off & I32(_Q - 1)
+
+    rb_copies = []
+    for j in range(narr):
+        c = pltpu.make_async_copy(out_refs[j].at[pl.ds(base, _Q)], rb[j],
+                                  sems.at[narr + j])
+        c.start()
+        rb_copies.append(c)
+
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    flat = row * I32(128) + col
+    arrs = [r[:].reshape(R, 128) for r in in_refs]
+    live = (arrs[0] != I32(-1)).astype(I32)     # i32 flag: bool rolls/selects
+    #                                             don't lower in Mosaic
+    dest = jnp.where(live != 0, rank_ref[:].reshape(R, 128) - off, flat)
+
+    s = 1
+    while s < T:
+        if s >= 128:
+            axis, amt = 0, s // 128
+            high = (row & I32(s // 128)) != 0
+        else:
+            axis, amt = 1, s
+            high = (col & I32(s)) != 0
+
+        def partner(x):
+            return jnp.where(high, jnp.roll(x, amt, axis=axis),
+                             jnp.roll(x, -amt, axis=axis))
+
+        want = live * (((flat ^ dest) & I32(s)) != 0).astype(I32)
+        swap = (want + partner(want)) != 0
+        moved = [jnp.where(swap, partner(x), x) for x in arrs]
+        dest = jnp.where(swap, partner(dest), dest)
+        live = jnp.where(swap, partner(live), live)
+        arrs = moved
+        s *= 2
+
+    for c in rb_copies:
+        c.wait()
+    R2 = 2 * R
+    flat2 = (jax.lax.broadcasted_iota(I32, (R2, 128), 0) * I32(128)
+             + jax.lax.broadcasted_iota(I32, (R2, 128), 1))
+    sent_rows = jnp.full((R, 128), I32(-1))
+    copies = []
+    for j in range(narr):
+        padded = jnp.concatenate([arrs[j], sent_rows], axis=0)
+        rot = _rotate_flat(padded, (I32(2 * T) - gap) & I32(2 * T - 1), R2)
+        rb_parts = [rb[j][:].reshape(_Q // 128, 128)]
+        if R2 > _Q // 128:
+            rb_parts.append(jnp.zeros((R2 - _Q // 128, 128), I32))
+        rb_rows = jnp.concatenate(rb_parts, axis=0)
+        combined = jnp.where(flat2 < gap, rb_rows, rot)
+        scr[j][:] = combined.reshape(2 * T)
+        c = pltpu.make_async_copy(scr[j], out_refs[j].at[pl.ds(base, 2 * T)],
+                                  sems.at[j])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def compact_live_u32(arrs, tile: int = 1 << 15):
+    """Stable compaction of sentinel-holed arrays.
+
+    arrs: tuple of 1-D uint32 arrays; an entry is DEAD iff arrs[0] ==
+    0xFFFFFFFF (canonical kmer keys / key-high-words never take the
+    all-ones value).  Returns (compacted_arrs, n_live): live entries moved
+    to the front preserving order; slots >= n_live carry all-ones in
+    every array.
+    """
+    narr = len(arrs)
+    T = tile
+    assert T >= _Q and T & (T - 1) == 0, "tile must be a pow2 >= 1024"
+    arrs = [jnp.asarray(x, U32) for x in arrs]
+    m = arrs[0].shape[0]
+    n_tiles = -(-m // T)
+    pad = n_tiles * T - m
+    if pad:
+        arrs = [jnp.concatenate([x, jnp.full((pad,), SENT32, U32)])
+                for x in arrs]
+    M = n_tiles * T
+    a_i32 = [jax.lax.bitcast_convert_type(x, I32) for x in arrs]
+    live = a_i32[0] != I32(-1)
+    rank = jnp.cumsum(live.astype(I32)) - live.astype(I32)   # exclusive
+    per_tile = live.reshape(n_tiles, T).sum(axis=1, dtype=I32)
+    off = jnp.concatenate([jnp.zeros((1,), I32),
+                           jnp.cumsum(per_tile, dtype=I32)])
+
+    kern = functools.partial(_compact_kernel, narr=narr, T=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((T,), lambda i, off: (i,),
+                               memory_space=pltpu.VMEM)] * narr
+        + [pl.BlockSpec((T,), lambda i, off: (i,),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr,
+        scratch_shapes=[pltpu.VMEM((2 * T,), I32)] * narr
+        + [pltpu.VMEM((_Q,), I32)] * narr
+        + [pltpu.SemaphoreType.DMA((2 * narr,))],
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((M + 2 * T,), I32)] * narr,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(off, *a_i32, rank)
+    n_live = off[-1]
+    idx = jnp.arange(M, dtype=I32)
+    outs = [jnp.where(idx < n_live,
+                      jax.lax.bitcast_convert_type(o[:M], U32), SENT32)
+            for o in outs]
+    return tuple(outs), n_live

@@ -1,0 +1,114 @@
+"""Worker process for the 2-process multi-host dryrun (tests/test_multihost.py).
+
+Each process owns 4 virtual CPU devices; jax.distributed stitches them into
+one 8-device global mesh spanning a process (≈ host/DCN) boundary.  The
+worker drives the same collectives the single-process tests exercise —
+hash-routed all_to_all counting (collective.sharded_count) and the
+signature all-gather (collective.gather_signatures) — across that boundary,
+then verifies against a replicated host oracle.  SURVEY.md §7 step 7's
+CPU-testable slice of the multi-host story.
+
+Usage: python multihost_worker.py <pid> <nproc> <coord_port> <out_dir>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, out_dir = (int(sys.argv[1]), int(sys.argv[2]),
+                                 sys.argv[3], sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=4").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.device_count() == 4 * nproc, jax.devices()
+    assert jax.local_device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import kmerutils_tpu  # noqa: F401
+    from kmerutils_tpu.base.sequence import pack_ascii_reads
+    from kmerutils_tpu.parallel import collective
+    from kmerutils_tpu.parallel.mesh import READS_AXIS
+    from kmerutils_tpu.count import exact
+    from kmerutils_tpu.sketch.jaccard import hashed_kmers
+    from kmerutils_tpu.sketch import probminhash
+
+    k = 13
+    n_dev = jax.device_count()
+    rng = np.random.default_rng(7)          # identical reads in all processes
+    reads = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(n_dev)]
+    batch = pack_ascii_reads(reads)
+    words = np.asarray(batch.words)
+    lengths = np.asarray(batch.lengths)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), (READS_AXIS,))
+    sh = NamedSharding(mesh, P(READS_AXIS))
+    # each process contributes its local rows of the globally-sharded batch
+    gwords = jax.make_array_from_process_local_data(sh, words[
+        pid * (n_dev // nproc):(pid + 1) * (n_dev // nproc)])
+    glengths = jax.make_array_from_process_local_data(sh, lengths[
+        pid * (n_dev // nproc):(pid + 1) * (n_dev // nproc)])
+    from kmerutils_tpu.base.sequence import ReadBatch
+    gbatch = ReadBatch(words=gwords, lengths=glengths)
+
+    # 1. hash-routed counting across the process boundary
+    keys, counts, dropped, n_distinct, _ = collective.sharded_count(
+        gbatch, k, mesh)
+    from jax.experimental import multihost_utils
+    all_keys = multihost_utils.process_allgather(keys, tiled=True)
+    all_counts = multihost_utils.process_allgather(counts, tiled=True)
+    assert int(np.asarray(multihost_utils.process_allgather(
+        dropped, tiled=True)).sum()) == 0
+
+    # oracle (replicated)
+    import collections
+    comp = str.maketrans("ACGT", "TGCA")
+    oracle = collections.Counter()
+    for r in reads:
+        for i in range(len(r) - k + 1):
+            s = r[i:i + k]
+            oracle[min(s, s.translate(comp)[::-1])] += 1
+    from kmerutils_tpu.base import kmer as kmer_mod
+    want = {kmer_mod.kmer_value_from_str(s): c for s, c in oracle.items()}
+    got = {}
+    for row_k, row_c in zip(np.asarray(all_keys), np.asarray(all_counts)):
+        sel = row_c > 0
+        for kk, cc in zip(row_k[sel], row_c[sel]):
+            got[int(kk)] = got.get(int(kk), 0) + int(cc)
+    assert got == want, (len(got), len(want))
+
+    # 2. signature all-gather across the boundary (ANN collection step)
+    items, valid = hashed_kmers(gbatch, 8)
+    m = 16
+
+    def sk(it, va):
+        sig, _, _ = probminhash.probminhash_from_items(it, va, m)
+        return sig
+
+    sigs = collective.data_parallel_sketch(sk, mesh)(items, valid)
+    gathered = collective.gather_signatures(sigs, mesh)
+    # oracle: single-device sketch of the full batch
+    it_full, va_full = hashed_kmers(batch, 8)
+    sig_full, _, _ = probminhash.probminhash_from_items(it_full, va_full, m)
+    g_host = np.asarray(
+        multihost_utils.process_allgather(gathered, tiled=True))
+    # gather_signatures replicates; process_allgather of a replicated array
+    # returns one copy per process — compare against the first
+    g_host = g_host.reshape(-1, *sig_full.shape)[0]
+    assert np.array_equal(g_host, np.asarray(sig_full))
+
+    with open(os.path.join(out_dir, f"ok.{pid}"), "w") as f:
+        f.write("ok")
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,8 @@ class TestParsefastq:
     def test_count(self, fastq_file, tmp_path, monkeypatch):
         p, reads = fastq_file
         monkeypatch.chdir(tmp_path)
-        rc = parsefastq.main(["-f", p, "kmer", "--count", "-s", "11"])
+        rc = parsefastq.main(["-f", p, "kmer", "--count", "-s", "11",
+                              "--capacity", "16384"])
         assert rc == 0
         k, reload = formats.read_multiple_kmer_dump(p + ".multi_kmer.bin")
         want = {kk: min(cc, 255) for kk, cc in oracle_counts(reads, 11).items()
@@ -51,7 +52,8 @@ class TestParsefastq:
     def test_unique(self, fastq_file, tmp_path, monkeypatch):
         p, reads = fastq_file
         monkeypatch.chdir(tmp_path)
-        rc = parsefastq.main(["-f", p, "kmer", "--unique", "-s", "16"])
+        rc = parsefastq.main(["-f", p, "kmer", "--unique", "-s", "16",
+                              "--capacity", "16384"])
         assert rc == 0
         k, keys, rn, ps, = formats.read_unique_kmer_dump(p + ".once_kmer.bin")
         want = {kk for kk, cc in oracle_counts(reads, 16).items() if cc == 1}
@@ -64,7 +66,8 @@ class TestParsefastq:
         # k > 16 exercises the Kmer64bit domain and the u64-keyed table
         p, reads = fastq_file
         monkeypatch.chdir(tmp_path)
-        rc = parsefastq.main(["-f", p, "kmer", "--count", "-s", "20"])
+        rc = parsefastq.main(["-f", p, "kmer", "--count", "-s", "20",
+                              "--capacity", "16384"])
         assert rc == 0
         k, reload = formats.read_multiple_kmer_dump(p + ".multi_kmer.bin")
         want = {kk: min(cc, 255) for kk, cc in oracle_counts(reads, 20).items()

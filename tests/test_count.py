@@ -212,51 +212,3 @@ class TestDeviceCountTable:
         assert int(np.asarray(table.n_dropped)) > 0
 
 
-class TestMergeCountTable:
-    def test_streaming_matches_oracle(self, rng):
-        # merge-fold streaming (with interleaved compactions) must agree
-        # with the sort-based table and the dict oracle, including
-        # first-occurrence coordinates
-        reads = ["".join(rng.choice(list("ACGT"), size=120)) for _ in range(6)]
-        reads += reads[:3]  # cross-batch duplicates
-        k = 7
-        table = exact.MergeCountTable.create(4096)
-        offset = 0
-        for i, lo in enumerate(range(0, len(reads), 3)):
-            group = reads[lo : lo + 3]
-            batch = pack_ascii_reads(group)
-            keys, counts, coord, n_live = exact.batch_table_inputs_sorted(
-                batch, k, offset)
-            if i == 1:  # exercise a mid-stream compaction
-                table = exact.merge_table_compact(table)
-            table = exact.merge_table_fold(table, keys, counts, coord)
-            offset += len(group)
-        assert int(np.asarray(table.n_dropped)) == 0
-        keys, counts, rn, ps = exact.merge_table_finalize(table)
-        want = oracle_counts(reads, k)
-        assert dict(zip(keys.tolist(), counts.tolist())) == dict(want)
-        from kmerutils_tpu.base import kmer as kmer_mod
-        first = {}
-        for r, s in enumerate(reads):
-            for p in range(len(s) - k + 1):
-                sub = s[p : p + k]
-                can = min(kmer_mod.kmer_value_from_str(sub),
-                          kmer_mod.kmer_value_from_str(revcomp_str(sub)))
-                first.setdefault(can, (r, p))
-        for v, r, p in zip(keys.tolist(), rn.tolist(), ps.tolist()):
-            assert first[v] == (r, p), v
-
-    def test_fold_tracks_used_and_drops(self, rng):
-        reads = ["".join(rng.choice(list("ACGT"), size=300))]
-        k = 9
-        table = exact.MergeCountTable.create(64)  # way too small
-        batch = pack_ascii_reads(reads)
-        keys, counts, coord, n_live = exact.batch_table_inputs_sorted(
-            batch, k, 0)
-        assert int(np.asarray(n_live)) > 64
-        table = exact.merge_table_fold(table, keys, counts, coord)
-        assert int(np.asarray(table.n_dropped)) > 0
-        assert int(np.asarray(exact.merge_table_used(table))) == 64
-        # surviving keys are the smallest ones, deterministically
-        live = np.asarray(table.keys)
-        assert (np.diff(live.astype(np.uint64)) >= 0).all()

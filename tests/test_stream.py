@@ -1,0 +1,192 @@
+"""Streaming count table (count/stream.py) + its Pallas machinery
+(ops/merge_pallas.py) against numpy / collections.Counter oracles.
+
+Kernels run in Pallas interpret mode on the CPU mesh (the real-TPU
+execution is exercised by bench.py and the CLI A/B drives)."""
+
+import collections
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kmerutils_tpu.ops import merge_pallas as mp
+from kmerutils_tpu.count import stream
+from kmerutils_tpu.base.sequence import pack_ascii_reads
+from kmerutils_tpu.base import kmer as kmer_mod
+
+RNG = np.random.default_rng(42)
+COMP = str.maketrans("ACGT", "TGCA")
+
+
+def _rand_sorted(n, ncmp, narr, max_key=2**32):
+    # real entries must not be all-zero across cmp words (kernel contract)
+    arrs = [RNG.integers(1, max_key, n, dtype=np.uint64).astype(np.uint32)]
+    for _ in range(narr - 1):
+        arrs.append(RNG.integers(0, 2**32, n, dtype=np.uint64)
+                    .astype(np.uint32))
+    packed = arrs[0].astype(np.uint64)
+    if ncmp == 2:
+        packed = (packed << np.uint64(32)) | arrs[1]
+    order = np.argsort(packed, kind="stable")
+    return [a[order] for a in arrs]
+
+
+@pytest.mark.parametrize("na,nb,ncmp,narr,window", [
+    (1000, 777, 1, 1, 4096),
+    (5000, 3000, 2, 2, 4096),
+    (300, 20000, 2, 4, 8192),
+    (2048, 0, 1, 2, 4096),
+])
+def test_merge_sorted_u32(na, nb, ncmp, narr, window):
+    A = _rand_sorted(na, ncmp, narr)
+    B = _rand_sorted(nb, ncmp, narr)
+    outs = [np.asarray(o) for o in
+            mp.merge_sorted_u32(tuple(A), tuple(B), ncmp=ncmp,
+                                window=window)]
+
+    def packkey(arrs):
+        p = arrs[0].astype(np.uint64)
+        if ncmp == 2:
+            p = (p << np.uint64(32)) | arrs[1]
+        return p
+
+    order = np.argsort(np.concatenate([packkey(A), packkey(B)]),
+                       kind="stable")
+    total = na + nb
+    for j in range(narr):
+        exp = np.concatenate([A[j], B[j]])[order]
+        got = outs[j][:total]
+        if j < ncmp:
+            assert np.array_equal(exp, got)
+        else:
+            # ties may reorder whole entries; compare as multisets
+            assert np.array_equal(np.sort(exp), np.sort(got))
+    assert np.all(outs[0][total:] == 0xFFFFFFFF)
+
+
+def test_merge_payload_entries_travel_together():
+    # entries (key, cnt | payload) must never mix words across entries
+    n = 3000
+    key = np.sort(RNG.integers(1, 50, n).astype(np.uint32))  # many dup keys
+    cnt = RNG.integers(1, 1000, n).astype(np.uint32)
+    pay = key * np.uint32(7) + cnt                           # checkable link
+    A = (key, cnt, pay)
+    m = 500
+    key_b = np.sort(RNG.integers(1, 50, m).astype(np.uint32))
+    cnt_b = RNG.integers(1, 1000, m).astype(np.uint32)
+    pay_b = key_b * np.uint32(7) + cnt_b
+    outs = [np.asarray(o) for o in
+            mp.merge_sorted_u32(A, (key_b, cnt_b, pay_b), ncmp=2,
+                                window=4096)]
+    live = outs[0] != 0xFFFFFFFF
+    assert np.array_equal(outs[2][live],
+                          outs[0][live] * np.uint32(7) + outs[1][live])
+
+
+@pytest.mark.parametrize("m,narr,tile,frac", [
+    (1000, 1, 1024, 0.5),
+    (5000, 3, 1024, 0.1),
+    (4096, 2, 2048, 1.0),
+    (10000, 2, 1024, 0.0),
+])
+def test_compact_live_u32(m, narr, tile, frac):
+    keys = RNG.integers(0, 2**31, m, dtype=np.uint64).astype(np.uint32)
+    live = RNG.random(m) < frac
+    keys[~live] = 0xFFFFFFFF
+    arrs = [keys] + [RNG.integers(0, 2**32, m, dtype=np.uint64)
+                     .astype(np.uint32) for _ in range(narr - 1)]
+    outs, n_live = mp.compact_live_u32(tuple(arrs), tile=tile)
+    n_live = int(n_live)
+    assert n_live == int(live.sum())
+    for a, o in zip(arrs, outs):
+        o = np.asarray(o)
+        assert np.array_equal(o[:n_live], a[live])     # stable order
+        assert np.all(o[n_live:m] == 0xFFFFFFFF)
+
+
+def _random_reads(n_reads, lo, hi):
+    return ["".join(RNG.choice(list("ACGT"), size=int(n)))
+            for n in RNG.integers(lo, hi, n_reads)]
+
+
+def _oracle_counts(reads, k):
+    oracle = collections.Counter()
+    first = {}
+    for rn, r in enumerate(reads):
+        for i in range(len(r) - k + 1):
+            s = r[i:i + k]
+            rc = s.translate(COMP)[::-1]
+            c = min(s, rc)
+            oracle[c] += 1
+            first.setdefault(c, (rn, i))
+    return oracle, first
+
+
+@pytest.mark.parametrize("k,coords", [(16, False), (16, True),
+                                      (11, False), (21, False), (21, True)])
+def test_stream_table_vs_counter(k, coords):
+    wide = k > 16
+    reads_batches = [_random_reads(8, 60, 400) for _ in range(3)]
+    table = stream.StreamCountTable.create(1 << 13, wide=wide, coords=coords)
+    offset = 0
+    for reads in reads_batches:
+        batch = pack_ascii_reads(reads)
+        arrs, live = stream.batch_entries(batch, k, offset, coords=coords)
+        table = stream.fold(table, arrs, live)
+        offset += len(reads)
+    keys, counts, rn, ps, dropped = stream.finalize(table)
+    assert dropped == 0
+
+    all_reads = [r for b in reads_batches for r in b]
+    oracle, first = _oracle_counts(all_reads, k)
+    vals = {kmer_mod.kmer_value_from_str(s): (c, first[s])
+            for s, c in oracle.items()}
+    assert len(keys) == len(vals)
+    assert np.all(keys[:-1] < keys[1:])                # ascending distinct
+    for key, cnt, r, p in zip(keys, counts, rn, ps):
+        exp_c, exp_coord = vals[int(key)]
+        assert int(cnt) == exp_c
+        if coords:
+            assert (int(r), int(p)) == exp_coord
+
+
+def test_stream_table_min_count_filter():
+    k = 16
+    reads = _random_reads(6, 100, 300)
+    reads.append(reads[0])            # duplicate read => counts >= 2
+    batch = pack_ascii_reads(reads)
+    table = stream.StreamCountTable.create(1 << 13, wide=False, coords=False)
+    arrs, live = stream.batch_entries(batch, k, 0)
+    table = stream.fold(table, arrs, live)
+    keys2, counts2, _, _, _ = stream.finalize(table, min_count=2)
+    oracle, _ = _oracle_counts(reads, k)
+    exp = sorted(kmer_mod.kmer_value_from_str(s)
+                 for s, c in oracle.items() if c >= 2)
+    assert [int(x) for x in keys2] == exp
+    assert np.all(counts2 >= 2)
+
+
+def test_stream_table_overflow_drops_largest():
+    k = 11
+    reads = _random_reads(6, 200, 400)
+    batch = pack_ascii_reads(reads)
+    arrs, live = stream.batch_entries(batch, k, 0)
+    # big-capacity truth
+    big = stream.StreamCountTable.create(1 << 13, wide=False, coords=False)
+    big = stream.fold(big, arrs, live)
+    keys_all, counts_all, _, _, d0 = stream.finalize(big)
+    assert d0 == 0
+    # tiny capacity: largest keys dropped, smallest exact
+    cap = 512
+    small = stream.StreamCountTable.create(cap, wide=False, coords=False)
+    small = stream.fold(small, arrs, live)
+    keys_s, counts_s, _, _, dropped = stream.finalize(small)
+    assert dropped > 0
+    n = len(keys_s)
+    assert n <= cap
+    # the smallest surviving keys match the truth exactly (the last
+    # surviving key may carry a partial count at the drop boundary)
+    assert np.array_equal(keys_s, keys_all[:n])
+    assert np.array_equal(counts_s[:-1], counts_all[:n - 1])
