@@ -50,8 +50,7 @@ def step(words, lengths):
     return sig, ovf
 
 
-def main():
-    rng = np.random.default_rng(42)
+def bench_sketch(rng):
     batch = make_batch(rng)
     jstep = jax.jit(step)
     # compile + warmup; NB: on the tunneled axon backend block_until_ready
@@ -71,14 +70,106 @@ def main():
         sig, _ = jstep(batch.words, batch.lengths)
     _ = int(np.asarray(sig[0, 0]))  # forces all queued steps to complete
     dt = (time.perf_counter() - t0 - t_fetch) / n_iter
+    return N_READS * READ_LEN / dt / 1e6
 
-    bases = N_READS * READ_LEN
-    mbases_s = bases / dt / 1e6
+
+def bench_stream_count(rng):
+    """Device-side streaming counting rate (kmers/s and Mbases/s) through
+    the Pallas merge-fold table — VERDICT #2's first missing metric.
+    Synthetic genome-with-coverage batches (so folds see realistic
+    duplicate mixes), batch shape = the CLI's quantized 1024x8192."""
+    from kmerutils_tpu.count import stream
+
+    K = 16
+    genome = rng.integers(0, 4, size=20 << 20, dtype=np.uint8)  # 20 Mbase
+    n_reads, rl = 1024, 8192
+    starts = rng.integers(0, genome.size - rl, size=n_reads)
+    codes = np.stack([genome[s : s + rl] for s in starts])
+    batch = pack_codes(codes, np.full(n_reads, rl, np.int32))
+
+    cap = 1 << 26
+    table = stream.StreamCountTable.create(cap, wide=False, coords=True)
+    prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
+    # warmup: one prep+fold (compiles merge kernel + compact branch)
+    arrs, live = prep(batch, k=K, read_num_offset=0, coords=True)
+    table = stream.fold(table, arrs, live)
+    _ = int(np.asarray(table.used))
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    off = 0
+    for _ in range(n_iter):
+        arrs, live = prep(batch, k=K, read_num_offset=off, coords=True)
+        table = stream.fold(table, arrs, live)
+        off += n_reads
+    used = int(np.asarray(table.used))  # forces completion
+    dt = (time.perf_counter() - t0) / n_iter
+    assert used > 0
+    kmers = n_reads * (rl - K + 1)
+    return kmers / dt / 1e6, n_reads * rl / dt / 1e6
+
+
+def bench_e2e_file_sketch(rng):
+    """End-to-end on-disk FASTQ -> per-read signatures, host ingest
+    overlapped with device compute (VERDICT #2's second missing metric).
+    A ~190 MB FASTQ is generated once and cached in /tmp."""
+    import os
+    from kmerutils_tpu.io import fastx
+    from kmerutils_tpu.sketch.jaccard import Sketcher
+    from kmerutils_tpu.sketch.params import (SeqSketcherParams, SketchAlgo,
+                                             DataType)
+
+    path = "/tmp/kmerutils_bench_e2e.fastq"
+    n_reads, rl = 16000, 6000
+    if not (os.path.exists(path)
+            and os.path.getsize(path) > n_reads * rl * 2):
+        bases = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, size=(n_reads, rl))]
+        with open(path, "wb") as f:
+            qual = b"I" * rl
+            for i in range(n_reads):
+                f.write(b"@r%d\n" % i)
+                f.write(bases[i].tobytes())
+                f.write(b"\n+\n")
+                f.write(qual)
+                f.write(b"\n")
+    params = SeqSketcherParams(kmer_size=K, sketch_size=M,
+                               algo=SketchAlgo.PROB3A, data_t=DataType.DNA)
+    sk = Sketcher(params=params)
+    # warmup compile on one batch shape
+    it = fastx.read_batches(path, batch_reads=1024, bucket=False)
+    b0, _ = next(it)
+    _ = np.asarray(sk.sketch_batch(b0))[0, 0]
+    del it
+
+    t0 = time.perf_counter()
+    st = fastx.IngestStats()
+    last = None
+    for batch, idx in fastx.read_batches_overlapped(
+            path, batch_reads=1024, stats=st, bucket=False):
+        last = sk.sketch_batch(batch)
+    _ = np.asarray(last)[0, 0]
+    dt = time.perf_counter() - t0
+    return st.n_bases / dt / 1e6
+
+
+def main():
+    rng = np.random.default_rng(42)
+    mbases_s = bench_sketch(rng)
+    count_kmers_s, count_mbases_s = bench_stream_count(rng)
+    e2e_mbases_s = bench_e2e_file_sketch(rng)
     out = {
         "metric": "probminhash_sketch_throughput_k8_m200",
         "value": round(mbases_s, 2),
         "unit": "Mbases/s",
         "vs_baseline": round(mbases_s / BASELINE_MBASES_PER_S, 3),
+        "extra": {
+            "stream_count_mkmers_s": round(count_kmers_s, 2),
+            "stream_count_mbases_s": round(count_mbases_s, 2),
+            "e2e_file_sketch_mbases_s": round(e2e_mbases_s, 2),
+            "e2e_vs_baseline": round(e2e_mbases_s / BASELINE_MBASES_PER_S,
+                                     3),
+        },
     }
     print(json.dumps(out))
 

@@ -163,6 +163,47 @@ class SketcherAA:
             return setsketch.setsketch_signatures(items, valid, sp, self.seed)
         raise ValueError(f"unhandled algo {algo}")
 
+    def sketch_collection(self, batch: AABatch):
+        """One signature for ALL sequences together — the AA twin of the
+        DNA whole-collection sketcher (sketch_compressedkmer_seqs,
+        /root/reference/src/aautils/setsketchert.rs:743-1017).
+
+        For HLL this is the mergeable-register path: the reference sketches
+        balanced blocks in parallel threads and merges SetSketch registers
+        (:840-888); here per-sequence registers are computed batched and
+        max-merged — across a device mesh the same merge is a jax.lax.pmax
+        (parallel/collective.sharded_setsketch_collection).
+        """
+        k, m = self.params.kmer_size, self.params.sketch_size
+        algo = self.params.algo
+        if algo == SketchAlgo.HLL:
+            regs = self.sketch_batch(batch)
+            return jnp.max(regs, axis=0)
+        from ..count import exact
+        items, valid = hashed_kmers_aa(batch, k, self.hash_name)
+        flat = items.reshape(1, -1)
+        fvalid = valid.reshape(1, -1)
+        if algo == SketchAlgo.PROB3A:
+            kc = exact.count_from_values(
+                jnp.where(fvalid[0], flat[0].astype(jnp.uint64),
+                          exact.SENTINEL64))
+            weights = jnp.where(kc.keys != exact.SENTINEL64, kc.counts, 0)
+            sig, _, _ = probminhash.probminhash_signatures(
+                kc.keys[None, :], weights[None, :], m, seed=self.seed)
+            return sig[0]
+        if algo == SketchAlgo.SUPER:
+            return superminhash.superminhash(flat, fvalid, m, self.seed)[0][0]
+        if algo == SketchAlgo.SUPER2:
+            return superminhash.superminhash2(flat, fvalid, m,
+                                              self.seed)[0][0]
+        if algo == SketchAlgo.OPTDENS:
+            return densminhash.optdens_signatures(flat, fvalid, m,
+                                                  self.seed)[0][0]
+        if algo == SketchAlgo.REVOPTDENS:
+            return densminhash.revoptdens_signatures(flat, fvalid, m,
+                                                     self.seed)[0][0]
+        raise ValueError(f"unhandled algo {algo}")
+
     def jaccard(self, sig_a, sig_b):
         if self.params.algo == SketchAlgo.HLL:
             sp = self.setsketch_params or SetSketchParams(m=self.params.sketch_size)

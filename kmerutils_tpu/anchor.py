@@ -101,16 +101,18 @@ def compute_anchors(batch: ReadBatch, params: AnchorsGeneratorParameters,
     sk, counts = minhash.sketch_items_invhash(km_f, va_f, params.nbkmer, wide=wide)
     sk = np.asarray(sk).reshape(n, max_w, params.nbkmer)
     counts = np.asarray(counts).reshape(n, max_w, params.nbkmer)
+    # reference iterates beg = 0, step, ... while beg < seqlen (:306-325);
+    # assembly is numpy-vectorized (live windows + slot masks computed in
+    # bulk, per-element conversion via C-speed .tolist()) so the host tail
+    # stays device-bound at ONT scale
+    live_w = (np.arange(max_w)[None, :] * step) < lengths[:, None]
+    slot_ok = sk != np.uint64(minhash.SENTINEL)
     out = []
-    for i in range(n):
-        # reference iterates beg = 0, step, ... while beg < seqlen (:306-325)
-        for w in range(max_w):
-            beg = w * step
-            if beg >= lengths[i]:
-                break
-            pairs = [(int(h), int(c)) for h, c in zip(sk[i, w], counts[i, w])
-                     if h != int(minhash.SENTINEL)]
-            out.append(SliceAnchor(read_num_offset + i, beg, pairs))
+    for i, w in zip(*np.nonzero(live_w)):
+        m = slot_ok[i, w]
+        pairs = list(zip(sk[i, w][m].tolist(), counts[i, w][m].tolist()))
+        out.append(SliceAnchor(read_num_offset + int(i), int(w) * step,
+                               pairs))
     return out
 
 

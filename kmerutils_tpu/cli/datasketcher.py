@@ -91,20 +91,18 @@ def _block_ann(args, per_seq):
                                          exclude_self=True)
         ids, sim = nn.astype(np.int64), sim0
     # DistBlockSketched: same-read blocks are at distance 1.0 — drop them
+    # (vectorized: pack kept hits left with one stable argsort per row)
     nq = ids.shape[0]
-    out_nn = np.zeros((nq, k), np.int32)
-    out_sim = np.full((nq, k), -1.0, np.float32)
-    for q in range(nq):
-        c = 0
-        for j in range(ids.shape[1]):
-            t = int(ids[q, j])
-            if t < 0 or read_of[t] == read_of[q]:
-                continue
-            out_nn[q, c] = t
-            out_sim[q, c] = sim[q, j]
-            c += 1
-            if c == k:
-                break
+    ids = ids.astype(np.int64)
+    keep = (ids >= 0) & (read_of[np.clip(ids, 0, None)]
+                         != read_of[:, None])
+    order = np.argsort(~keep, axis=1, kind="stable")
+    ids2 = np.take_along_axis(ids, order, axis=1)
+    sim2 = np.take_along_axis(sim, order, axis=1)
+    col = np.arange(ids2.shape[1])[None, :]
+    valid = col < np.minimum(keep.sum(axis=1), k)[:, None]
+    out_nn = np.where(valid, ids2, 0)[:, :k].astype(np.int32)
+    out_sim = np.where(valid, sim2, -1.0)[:, :k].astype(np.float32)
     write_neighbor_dump(args.dumpfname + "-ann", out_nn, out_sim)
     who.tofile(args.dumpfname + "-ann.blocks")
     print(f"block ann: {nq} blocks, {k} cross-read neighbors/block -> "
@@ -146,19 +144,25 @@ def main(argv=None):
         return 0
 
     sk = Sketcher(params=params)
-    sigs = {}
-    for batch, idx in fastx.read_batches(args.filename, batch_reads=pack,
-                                         stats=st):
-        s = np.asarray(sk.sketch_batch(batch))
-        for row, i in enumerate(idx):
-            sigs[int(i)] = s[row]
-    ordered = np.stack([sigs[i] for i in sorted(sigs)])
+    # block-accumulate (no per-read python loop: batches are length-bucketed
+    # so row -> read mapping is restored by ONE argsort at the end)
+    blocks: list = []
+    block_idx: list = []
+    for batch, idx in fastx.read_batches_overlapped(
+            args.filename, batch_reads=pack, stats=st):
+        blocks.append(sk.sketch_batch(batch))
+        block_idx.append(np.asarray(idx))
+    all_idx = np.concatenate(block_idx)
+    all_sigs = np.concatenate([np.asarray(b)[: len(i)]
+                               for b, i in zip(blocks, block_idx)])
+    ordered = all_sigs[np.argsort(all_idx, kind="stable")]
+    n_sketched = len(all_idx)
     sig_u32 = ordered.astype(np.uint32) if params.algo in (
         SketchAlgo.PROB3A, SketchAlgo.SUPER2) else ordered
     formats.write_signature_dump(
         args.dumpfname, args.kmer_size,
         sig_u32 if sig_u32.dtype == np.uint32 else ordered.astype(np.uint64))
-    print(f"sketched {len(sigs)} reads in {time.time()-t0:.1f}s")
+    print(f"sketched {n_sketched} reads in {time.time()-t0:.1f}s")
 
     if args.cmd == "ann":
         from ..ann import brute_force_neighbors, write_neighbor_dump

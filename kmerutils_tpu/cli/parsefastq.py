@@ -48,11 +48,12 @@ def build_parser():
     return p
 
 
-def _auto_capacity(filename: str) -> int:
+def _auto_capacity(filename: str, coords: bool) -> int:
     """Size the count table from the file: distinct kmers <= total kmers
     ~ bases ~ half the FASTQ byte size (quality lines + headers are the
-    other half; gz estimated at 2.5x expansion).  Clamp to [2^20, 2^26]
-    entries and add 50% headroom for pending duplicate entries — overflow
+    other half; gz estimated at 2.5x expansion).  Clamp to [2^20, cap_max]
+    entries (cap_max bounded by HBM: 2 words/entry without coordinates,
+    4 with) and add 50% headroom for pending duplicate entries — overflow
     drops largest keys with a warning, exactly like the reference's
     capacity-bounded cuckoo (kmercount.rs:297-307)."""
     import os
@@ -60,8 +61,8 @@ def _auto_capacity(filename: str) -> int:
     if filename.endswith(".gz"):
         size = int(size * 2.5)
     est_kmers = max(size // 2, 1)
-    cap = 1 << max(20, min(26, (int(est_kmers * 1.5) - 1).bit_length()))
-    return cap
+    cap_max = 27 if coords else 28          # ~2.1 GB of HBM either way
+    return 1 << max(20, min(cap_max, (int(est_kmers * 1.5) - 1).bit_length()))
 
 
 def main(argv=None):
@@ -85,9 +86,13 @@ def main(argv=None):
         from ..count import stream
         # device-resident streaming accumulation: each batch is ONE Pallas
         # merge fold (count/stream.py); records transfer to host once.
-        capacity = args.capacity or _auto_capacity(args.filename)
+        # --unique needs first-occurrence coordinates; --count does not
+        # (the multiple-kmer dump is reloaded into a map, kmercount.rs:1291)
+        # and runs ~2x faster without the two coordinate words
+        coords = not args.count
+        capacity = args.capacity or _auto_capacity(args.filename, coords)
         table = stream.StreamCountTable.create(capacity, wide=k > 16,
-                                               coords=True)
+                                               coords=coords)
         prep = jax.jit(stream.batch_entries,
                        static_argnames=("k", "coords"))
         offset = 0
@@ -97,7 +102,7 @@ def main(argv=None):
                 stats=st, bucket=False):
             dist.record_batch(batch)
             arrs, live = prep(batch, k=k, read_num_offset=offset,
-                              coords=True)
+                              coords=coords)
             table = stream.fold(table, arrs, live)
             offset += len(idx)  # real reads only (batch may be shape-padded)
             pending.append(table.used)
@@ -115,15 +120,18 @@ def main(argv=None):
             print(f"WARNING: table capacity {capacity} exceeded; "
                   f"{dropped} entries dropped (raise --capacity)",
                   file=sys.stderr)
-        order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
-                           | fps, kind="stable")  # scan order
         if args.count:
+            # records in ascending canonical-kmer order (reload builds a
+            # map; the reference's own dump order is channel-arbitrary,
+            # kmercount.rs:756-770)
             out = args.filename + ".multi_kmer.bin"
             bpc = 1 if args.counter_size <= 8 else 2
             n = formats.write_multiple_kmer_dump(
-                out, k, keys[order], counts[order], bytes_per_count=bpc)
+                out, k, keys, counts, bytes_per_count=bpc)
             print(f"dumped {n} multiple kmers to {out}")
         else:
+            order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
+                               | fps, kind="stable")  # scan order
             out = args.filename + ".once_kmer.bin"
             formats.write_unique_kmer_dump(out, k, keys[order], frn[order],
                                            fps[order])

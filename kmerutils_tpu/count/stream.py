@@ -258,7 +258,8 @@ def finalize(table: StreamCountTable, min_count: int = 1,
     """
     @functools.partial(jax.jit, static_argnames=("lo", "hi"))
     def run(t, lo, hi):
-        t = _compact(t)
+        # aggregate, then fold the count filter into ONE compaction pass
+        t = _aggregate(t)
         kw = 2 if t.wide else 1
         cnt = t.arrs[kw]
         live = t.arrs[0] != SENT32

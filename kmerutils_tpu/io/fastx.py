@@ -47,20 +47,34 @@ def _open(path: str):
 def iter_fastx(path: str):
     """Yield (id bytes, seq bytes, qual bytes|None) records.
 
-    Handles FASTQ (4-line records) and FASTA (multi-line sequences).
+    Handles FASTQ — including legal WRAPPED records, where sequence and
+    quality each span multiple lines (sequence ends at the '+' separator;
+    quality ends once its length reaches the sequence length) — and FASTA
+    (multi-line sequences).
     """
     with _open(path) as f:
-        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         line = f.readline()
         if not line:
             return
         if line.startswith(b"@"):  # FASTQ
             while line:
                 rid = line.rstrip()[1:]
-                seq = f.readline().rstrip()
-                f.readline()  # '+'
-                qual = f.readline().rstrip()
-                yield rid, seq, qual
+                seq_parts = []
+                line = f.readline()
+                while line and not line.startswith(b"+"):
+                    seq_parts.append(line.rstrip())
+                    line = f.readline()
+                seq = b"".join(seq_parts)
+                qual_parts: list[bytes] = []
+                qlen = 0
+                while qlen < len(seq):
+                    line = f.readline()
+                    if not line:
+                        break
+                    part = line.rstrip()
+                    qual_parts.append(part)
+                    qlen += len(part)
+                yield rid, seq, b"".join(qual_parts)
                 line = f.readline()
         elif line.startswith(b">"):  # FASTA
             rid = line.rstrip()[1:]

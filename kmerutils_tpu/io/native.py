@@ -61,8 +61,47 @@ def _load():
         ]
     except AttributeError:
         pass  # stale .so without the packed entry point
+    try:
+        lib.ktp_next_block_qual.restype = ctypes.c_long
+        lib.ktp_next_block_qual.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+        ]
+    except AttributeError:
+        pass  # stale .so without the qual entry point
     _lib = lib
     return _lib
+
+
+def iter_quality_blocks(path: str, block_reads: int = 10000,
+                        cap_bytes: int = 64 << 20):
+    """Yield (qual_bytes uint8[...], offsets int64[n+1]) blocks of RAW
+    quality lines for EVERY read (no non-ACGT dropping — read numbering
+    matches a full-file scan, the quality.rs:157-210 contract).  Requires
+    the native parser with the qual entry point."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ktp_next_block_qual"):
+        raise RuntimeError("native qual parser unavailable")
+    h = lib.ktp_open(path.encode())
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        quals = np.empty(cap_bytes, dtype=np.uint8)
+        offsets = np.empty(block_reads + 1, dtype=np.int64)
+        while True:
+            n = lib.ktp_next_block_qual(h, quals, cap_bytes, offsets,
+                                        block_reads)
+            if n == 0:
+                return
+            if n < 0:
+                raise ValueError(f"{path}: native quality parse failed "
+                                 "(overflow or non-FASTQ)")
+            yield quals[: offsets[n]].copy(), offsets[: n + 1].copy()
+    finally:
+        lib.ktp_close(h)
 
 
 def available() -> bool:

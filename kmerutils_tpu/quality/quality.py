@@ -37,7 +37,7 @@ def remap_quality8(q) -> np.ndarray:
 
 class _BitVecRank:
     """Bit vector with O(1) rank1 via a two-level directory: u32 cumulative
-    count per 8-word (512-bit) superblock + u8 within-superblock prefix per
+    count per 8-word (512-bit) superblock + u16 within-superblock prefix per
     word — ~1.19 bits of overhead per data bit (the compactness behind the
     reference's 0.56x memory figure, quality.rs:4-5)."""
 
@@ -57,7 +57,9 @@ class _BitVecRank:
         padded[:nw] = pops
         per_sup = padded.reshape(nsup, 8)
         within = np.cumsum(per_sup, axis=1) - per_sup  # prefix before word
-        self.sub = within.astype(np.uint8).ravel()[:nw]
+        # the prefix within a 512-bit superblock reaches 7*64 = 448: u16
+        # (u8 overflowed at dense blocks — ranks silently wrapped mod 256)
+        self.sub = within.astype(np.uint16).ravel()[:nw]
         sup_tot = per_sup.sum(axis=1)
         self.sup = np.concatenate([[0], np.cumsum(sup_tot)]).astype(np.uint32)
 
@@ -78,8 +80,13 @@ class _BitVecRank:
         wic = np.minimum(wi, len(self.words) - 1)
         head = self.sup[np.minimum(wi >> 3, len(self.sup) - 1)].astype(np.int64) \
             + self.sub[wic]
-        mask = np.where(off == 0, np.uint64(0),
-                        (~np.uint64(0)) >> np.uint64(64) - off.astype(np.uint64))
+        # NB: both np.where branches evaluate, so the shift amount must stay
+        # in [0, 63] even when off == 0 — a shift BY 64 is C-level UB whose
+        # result varies with numpy's SIMD/scalar dispatch (it made this rank
+        # depend on heap alignment, i.e. on whatever ran earlier in the
+        # process)
+        shift = (np.uint64(64) - off.astype(np.uint64)) & np.uint64(63)
+        mask = np.where(off == 0, np.uint64(0), (~np.uint64(0)) >> shift)
         partial = self._popcounts(np.atleast_1d(self.words[wic] & mask))
         # sup[-1] is the cumulative popcount over all words == total ones;
         # pos at/most n with an out-of-range word index means "count everything"
@@ -150,7 +157,7 @@ class WaveletMatrix:
         return hi - lo
 
     def memory_bits(self) -> int:
-        return sum(bv.words.size * 64 + bv.sup.size * 32 + bv.sub.size * 8
+        return sum(bv.words.size * 64 + bv.sup.size * 32 + bv.sub.size * 16
                    for bv in self.levels)
 
 
@@ -185,9 +192,25 @@ class QSequenceWM:
 
 def load_quality_wm(fname: str, max_reads: int | None = None):
     """FASTQ quality loader (quality.rs:157-210): remap + wavelet compress
-    every read's quality string."""
-    from ..io import fastx
+    every read's quality string.
+
+    Uses the native C++ parser's quality path when built (4-line FASTQ,
+    which is what the native parser handles); wrapped records fall back to
+    the python parser.
+    """
+    from ..io import fastx, native
     out = []
+    if native.available() and hasattr(native._load(), "ktp_next_block_qual"):
+        try:
+            for quals, offsets in native.iter_quality_blocks(fname):
+                for r in range(len(offsets) - 1):
+                    out.append(QSequenceWM(
+                        len(out), qv=quals[offsets[r]: offsets[r + 1]]))
+                    if max_reads is not None and len(out) >= max_reads:
+                        return out
+            return out
+        except ValueError:
+            out = []          # wrapped/odd FASTQ: python fallback below
     for i, (_rid, _seq, qual) in enumerate(fastx.iter_fastx(fname)):
         if qual is None:
             raise ValueError("FASTA file has no qualities")

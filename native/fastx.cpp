@@ -368,4 +368,36 @@ long ktp_next_block_packed(void *h, uint32_t *words_buf, long cap_words,
     return kept;
 }
 
+// Quality-only block reader for the quality subsystem (qualityloader,
+// quality.rs:157-210 role): copies EVERY read's raw quality bytes —
+// no non-ACGT dropping, so read numbering matches a full-file scan.
+// Returns #reads (0 = EOF, -1 = error/overflow); offsets[r] delimit read
+// r's quality bytes in qual_buf.  FASTQ only (FASTA has no qualities).
+long ktp_next_block_qual(void *h, uint8_t *qual_buf, long cap,
+                         int64_t *offsets, long max_reads) {
+    Parser *p = static_cast<Parser *>(h);
+    long n_reads = 0;
+    int64_t used = 0;
+    offsets[0] = 0;
+    while (n_reads < max_reads) {
+        size_t len;
+        char *line = p->next_line(&len);
+        if (!line) break;
+        if (len == 0) continue;
+        if (line[0] != '@') return -1;
+        size_t slen;
+        if (!p->next_line(&slen)) break;      // sequence (skipped)
+        size_t l2;
+        if (!p->next_line(&l2)) break;        // '+'
+        size_t qlen;
+        char *qual = p->next_line(&qlen);
+        if (!qual) break;
+        if (used + static_cast<int64_t>(qlen) > cap) return -1;
+        memcpy(qual_buf + used, qual, qlen);
+        used += static_cast<int64_t>(qlen);
+        offsets[++n_reads] = used;
+    }
+    return n_reads;
+}
+
 }  // extern "C"

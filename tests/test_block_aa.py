@@ -87,3 +87,36 @@ class TestAA:
         j_half = float(sk.jaccard(sigs[0], sigs[1]))
         assert j_same == 1.0
         assert 0.2 < j_half < 0.8
+
+
+class TestAACollection:
+    def test_hll_collection_equals_merged_registers(self):
+        # AA whole-collection sketcher (setsketchert.rs:743-1017): the
+        # collection registers must equal the max-merge of per-sequence
+        # registers (the reference's block-merge invariant)
+        import numpy as np
+        params = SeqSketcherParams(kmer_size=4, sketch_size=64,
+                                   algo=SketchAlgo.HLL, data_t=DataType.AA)
+        sk = kmeraa.SketcherAA(params=params)
+        batch = kmeraa.pack_aa_reads([PROT, PROT[: len(PROT) // 2],
+                                      PROT[::-1]])
+        per_seq = np.asarray(sk.sketch_batch(batch))
+        coll = np.asarray(sk.sketch_collection(batch))
+        assert np.array_equal(coll, per_seq.max(axis=0))
+
+    @pytest.mark.parametrize("algo", [SketchAlgo.PROB3A, SketchAlgo.SUPER2,
+                                      SketchAlgo.OPTDENS,
+                                      SketchAlgo.REVOPTDENS, SketchAlgo.SUPER])
+    def test_collection_matches_single_concatenated_stream(self, algo):
+        # a collection sketch of several sequences must estimate the union:
+        # sketching [PROT] as a collection == per-read sketch of PROT alone
+        import numpy as np
+        params = SeqSketcherParams(kmer_size=4, sketch_size=64, algo=algo,
+                                   data_t=DataType.AA)
+        sk = kmeraa.SketcherAA(params=params)
+        one = kmeraa.pack_aa_reads([PROT])
+        coll = np.asarray(sk.sketch_collection(one))
+        per = np.asarray(sk.sketch_batch(one))[0]
+        assert coll.shape == per.shape
+        # same single-sequence content => same kmer multiset => same sketch
+        assert np.allclose(np.sort(coll), np.sort(per)) or np.array_equal(coll, per)

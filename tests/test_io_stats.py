@@ -286,3 +286,40 @@ class TestNativeParser:
                 assert (np.asarray(ba.lengths)
                         == np.asarray(bb.lengths)).all()
             assert vars(st_a) == vars(st_b)
+
+
+class TestWrappedFastq:
+    def test_wrapped_records_parse(self, tmp_path):
+        # legal multi-line FASTQ: sequence and quality each wrap; the
+        # quality may even start with '@' — length, not markers, delimits
+        p = str(tmp_path / "wrapped.fastq")
+        seq = "ACGTACGTACGTACGTACGTACGTACGT"
+        qual = "@" + "I" * (len(seq) - 1)
+        with open(p, "w") as f:
+            f.write("@r0\n")
+            f.write(seq[:10] + "\n" + seq[10:20] + "\n" + seq[20:] + "\n")
+            f.write("+\n")
+            f.write(qual[:7] + "\n" + qual[7:] + "\n")
+            f.write("@r1\nACGT\n+\nIIII\n")
+        recs = list(fastx.iter_fastx(p))
+        assert len(recs) == 2
+        assert recs[0][1] == seq.encode()
+        assert recs[0][2] == qual.encode()
+        assert recs[1][1] == b"ACGT"
+
+    def test_wrapped_batches_match_flat(self, tmp_path):
+        # the python fallback batching over a wrapped file must equal the
+        # flat 4-line form of the same reads
+        rng = np.random.default_rng(9)
+        reads = ["".join(rng.choice(list("ACGT"), size=int(n)))
+                 for n in rng.integers(30, 90, 8)]
+        flat = str(tmp_path / "flat.fastq")
+        fastx.write_fastq(flat, reads)
+        wrapped = str(tmp_path / "wrapped.fastq")
+        with open(wrapped, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@read{i}\n{r[:17]}\n{r[17:]}\n+\n"
+                        f"{'I' * min(17, len(r))}\n{'I' * max(0, len(r)-17)}\n")
+        a = [(rid, s) for rid, s, _ in fastx.iter_fastx(flat)]
+        b = [(rid, s) for rid, s, _ in fastx.iter_fastx(wrapped)]
+        assert a == b

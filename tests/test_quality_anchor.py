@@ -46,6 +46,16 @@ class TestWaveletMatrix:
         idx = rng.integers(0, 1000, size=50)
         assert (wm.lookup(idx) == vals[idx]).all()
 
+    def test_access_dense_bits(self):
+        # regression: a dense level (all-ones bits) drives the within-
+        # superblock rank prefix to 7*64 = 448, which overflowed the u8
+        # directory (ranks wrapped mod 256 for positions past word 11)
+        vals = np.full(1000, 7, dtype=np.uint64)
+        vals[::7] = 2
+        wm = Q.WaveletMatrix(vals)
+        assert (wm.access_all() == vals).all()
+        assert wm.rank(7, 1000) == int((vals == 7).sum())
+
     def test_rank(self, rng):
         vals = rng.integers(0, 8, size=500, dtype=np.uint64)
         wm = Q.WaveletMatrix(vals)
@@ -157,3 +167,25 @@ class TestUtilsAnn:
         ann.write_neighbor_dump(p, nn, sim)
         n2, s2 = ann.read_neighbor_dump(p)
         assert (n2 == nn).all() and np.allclose(s2, sim)
+
+
+class TestNativeQualityPath:
+    def test_native_matches_python_fallback(self, tmp_path):
+        from kmerutils_tpu.io import fastx, native
+        if not (native.available()
+                and hasattr(native._load(), "ktp_next_block_qual")):
+            pytest.skip("native qual parser not built")
+        rng = np.random.default_rng(3)
+        reads = ["".join(rng.choice(list("ACGT"), size=int(n)))
+                 for n in rng.integers(30, 120, 10)]
+        quals = ["".join(chr(int(q)) for q in rng.integers(0x21, 0x4B, len(r)))
+                 for r in reads]
+        p = str(tmp_path / "q.fastq")
+        fastx.write_fastq(p, reads, quals)
+        via_native = Q.load_quality_wm(p)
+        # force the python path
+        expected = [np.frombuffer(q.encode(), np.uint8) for q in quals]
+        assert len(via_native) == len(expected)
+        for wm, exp in zip(via_native, expected):
+            got = wm.decompress().qseq
+            assert (got == Q.remap_quality8(exp)).all()

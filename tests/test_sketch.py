@@ -298,3 +298,49 @@ class TestDriver:
         p.dump_json(str(f))
         back = SeqSketcherParams.reload_json(str(tmp_path))
         assert back == p
+
+
+class TestGoldenParity:
+    """PARITY.md §3: measured statistical agreement between the TPU
+    ProbMinHash sampler and the golden host implementation of Ertl's
+    published sequential ProbMinHash3 (sketch/golden.py)."""
+
+    def test_estimator_agreement_vs_exact_jp(self):
+        from kmerutils_tpu.sketch import golden
+
+        rng = np.random.default_rng(5)
+        items = rng.integers(1, 2**31, 60, dtype=np.uint64)
+        wa = {int(d): int(w) for d, w in
+              zip(items, rng.integers(1, 6, 60))}
+        wb = {int(d): int(w) for d, w in
+              zip(items[:40], rng.integers(1, 6, 40))}   # 40/60 shared
+        jp = golden.probjaccard_exact(
+            {k: float(v) for k, v in wa.items()},
+            {k: float(v) for k, v in wb.items()})
+        m, trials = 64, 40
+
+        ka = np.array(sorted(wa), dtype=np.uint64)
+        va = np.array([wa[int(k)] for k in ka], dtype=np.int32)
+        kb = np.array(sorted(wb), dtype=np.uint64)
+        vb = np.array([wb[int(k)] for k in kb], dtype=np.int32)
+        est_t, est_g = [], []
+        for s in range(trials):
+            sa = probminhash.probminhash_signatures(
+                ka[None], va[None], m, seed=s)[0]
+            sb = probminhash.probminhash_signatures(
+                kb[None], vb[None], m, seed=s)[0]
+            est_t.append(float((np.asarray(sa[0]) == np.asarray(sb[0]))
+                               .mean()))
+            ga = golden.probminhash3_golden(ka, va, m, seed=s)
+            gb = golden.probminhash3_golden(kb, vb, m, seed=s)
+            est_g.append(float((ga == gb).mean()))
+        mt, mg = np.mean(est_t), np.mean(est_g)
+        st, sg = np.std(est_t), np.std(est_g)
+        # both samplers must be unbiased estimators of the same J_P with
+        # the binomial-order variance sqrt(J(1-J)/m)
+        tol = 3.5 * np.sqrt(jp * (1 - jp) / m / trials) + 0.01
+        assert abs(mt - jp) < tol, (mt, jp, tol)
+        assert abs(mg - jp) < tol, (mg, jp, tol)
+        ref_sd = np.sqrt(jp * (1 - jp) / m)
+        assert 0.5 * ref_sd < st < 1.6 * ref_sd, (st, ref_sd)
+        assert 0.5 * ref_sd < sg < 1.6 * ref_sd, (sg, ref_sd)
