@@ -10,10 +10,10 @@ module replaces the fold with the Pallas merge-path kernel
                  count 1 each — no per-batch aggregation pass)
   fold       ->  ONE O(n) hierarchical merge of (table, batch); duplicate
                  keys coexist as separate entries
-  compact    ->  when entries approach capacity: aggregation scans (run
-                 totals, first-occurrence coords) + the Pallas butterfly
-                 concentrator moves live entries to the front
-  finalize   ->  compact + count-range filter on device, ONE host transfer
+  compact    ->  when entries approach capacity: ONE fused Pallas pass
+                 (ops/merge_pallas.aggregate_compact_u32) aggregates runs
+                 in VMEM with an SMEM carry and butterfly-compacts
+  finalize   ->  the same pass with the count-range filter, ONE transfer
 
 The reference counterpart is the cuckoo+counting-bloom insert loop and its
 threaded drivers (/root/reference/src/base/kmercount.rs:241-267,881-974);
@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..base.sequence import ReadBatch
 from ..base import kmer as kmer_mod
-from ..ops.merge_pallas import merge_sorted_u32, compact_live_u32
+from ..ops.merge_pallas import merge_sorted_u32, aggregate_compact_u32
 
 U32 = jnp.uint32
 U64 = jnp.uint64
@@ -134,86 +134,10 @@ def batch_entries(batch: ReadBatch, k: int, read_num_offset,
     return arrs, live.sum().astype(jnp.int32)
 
 
-def _scan64(x, op, identity):
-    """Inclusive prefix scan via explicit log-stride (Hillis-Steele)
-    passes.  lax.cummin/cumsum on 64-bit values lower to VARIADIC
-    (hi, lo)-pair reduce-windows on TPU, which blow the scoped-VMEM limit
-    at many shapes; log2(n) elementwise passes always compile."""
-    n = x.shape[0]
-    d = 1
-    while d < n:
-        shifted = jnp.concatenate(
-            [jnp.full((min(d, n),), identity, x.dtype), x[:-d]])
-        x = op(x, shifted)
-        d *= 2
-    return x
-
-
-def _suffix_min64(x):
-    return _scan64(x[::-1], jnp.minimum, jnp.iinfo(x.dtype).max)[::-1]
-
-
-def _aggregate(table: StreamCountTable) -> StreamCountTable:
-    """Sum duplicate-key entries into their run starts; duplicates become
-    dead (all-ones) slots in place.  Coordinates aggregate by segmented
-    min (first occurrence).  Keeps arrays sorted with holes — follow with
-    the Pallas compaction."""
-    a = table.arrs
-    key_words = 2 if table.wide else 1
-    live = a[0] != SENT32
-    eq = jnp.ones_like(live)
-    for w in range(key_words):
-        eq = eq & jnp.concatenate(
-            [jnp.zeros((1,), bool), a[w][1:] == a[w][:-1]])
-    new_run = live & ~eq
-    nxt_live = jnp.concatenate([live[1:], jnp.zeros((1,), bool)])
-    nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
-    is_end = live & (nxt_new | ~nxt_live)
-    cnt_w = a[key_words]
-    cnt64 = jnp.where(live, cnt_w.astype(I64), 0)
-    csum = _scan64(cnt64, jnp.add, 0)
-    end_s = _suffix_min64(jnp.where(is_end, csum, jnp.iinfo(I64).max))
-    total = end_s - csum + cnt64                 # valid at run starts
-    total_sat = jnp.minimum(total, I64(0xFFFFFFFF)).astype(U32)
-
-    out = [jnp.where(new_run, a[w], SENT32) for w in range(key_words)]
-    out.append(jnp.where(new_run, total_sat, SENT32))
-    if table.coords:
-        # Segmented suffix-min of (rn, ps) WITHOUT associative_scan (its
-        # tuple-carry lowering blows scoped VMEM on TPU): pack
-        # (segment_id << 32 | value) into i64 — segment ids increase left
-        # to right, so a plain suffix cummin can never leak a later
-        # segment's value into an earlier one.  Two passes: min read_num
-        # per run, then min pos among the min-read entries.
-        seg = jnp.cumsum(new_run.astype(jnp.int32)).astype(I64)
-        big = I64(0xFFFFFFFF)
-        rn = a[key_words + 1].astype(I64)
-        ps = a[key_words + 2].astype(I64)
-
-        def seg_suffix_min(vals):
-            p = (seg << I64(32)) | vals
-            return _suffix_min64(p) & big
-
-        min_rn = seg_suffix_min(jnp.where(live, rn, big))
-        # broadcast each run's min (valid at its start) forward over the
-        # run: max-scan of (seg << 32 | min_rn)@starts is monotone in seg
-        fill = _scan64(jnp.where(new_run, (seg << I64(32)) | min_rn, 0),
-                       jnp.maximum, 0)
-        run_min_rn = fill & big
-        min_ps = seg_suffix_min(
-            jnp.where(live & (rn == run_min_rn), ps, big))
-        out.append(jnp.where(new_run, min_rn.astype(U32), SENT32))
-        out.append(jnp.where(new_run, min_ps.astype(U32), SENT32))
-    return StreamCountTable(arrs=tuple(out), used=table.used,
-                            n_dropped=table.n_dropped,
-                            wide=table.wide, coords=table.coords)
-
-
 def _compact(table: StreamCountTable) -> StreamCountTable:
-    agg = _aggregate(table)
-    outs, n_live = compact_live_u32(agg.arrs)
-    outs = tuple(o[: table.capacity] for o in outs)
-    return StreamCountTable(arrs=outs, used=n_live,
+    outs, n_live = aggregate_compact_u32(
+        table.arrs, kw=2 if table.wide else 1, coords=table.coords)
+    return StreamCountTable(arrs=tuple(outs), used=n_live,
                             n_dropped=table.n_dropped,
                             wide=table.wide, coords=table.coords)
 
@@ -258,16 +182,9 @@ def finalize(table: StreamCountTable, min_count: int = 1,
     """
     @functools.partial(jax.jit, static_argnames=("lo", "hi"))
     def run(t, lo, hi):
-        # aggregate, then fold the count filter into ONE compaction pass
-        t = _aggregate(t)
-        kw = 2 if t.wide else 1
-        cnt = t.arrs[kw]
-        live = t.arrs[0] != SENT32
-        sel = live & (cnt >= U32(lo))
-        if hi is not None:
-            sel &= cnt <= U32(hi)
-        masked = tuple(jnp.where(sel, a, SENT32) for a in t.arrs)
-        outs, n = compact_live_u32(masked)
+        # ONE fused aggregate+filter+compact pass (ops/merge_pallas.py)
+        outs, n = aggregate_compact_u32(
+            t.arrs, kw=2 if t.wide else 1, coords=t.coords, lo=lo, hi=hi)
         return outs, n, t.n_dropped
 
     outs, n, dropped = run(table, min_count, max_count)

@@ -296,6 +296,318 @@ def merge_sorted_u32(a_arrs, b_arrs, ncmp: int = 1, window: int = 1 << 18):
                  for j, o in enumerate(outs))
 
 
+def _flat_shift_right(x, s: int, fill, R):
+    """out[i] = x[i - s] for static s >= 1 (row-major flat order), filling
+    the first s positions."""
+    T = R * 128
+    rot = _rotate_flat(x, I32((T - s) % T), R)
+    flat = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * I32(128)
+            + jax.lax.broadcasted_iota(I32, (R, 128), 1))
+    return jnp.where(flat < s, fill, rot)
+
+
+def _flat_shift_left(x, s: int, fill, R):
+    """out[i] = x[i + s] for static s >= 1, filling the last s positions."""
+    T = R * 128
+    rot = _rotate_flat(x, I32(s), R)
+    flat = (jax.lax.broadcasted_iota(I32, (R, 128), 0) * I32(128)
+            + jax.lax.broadcasted_iota(I32, (R, 128), 1))
+    return jnp.where(flat >= T - s, fill, rot)
+
+
+def _scalar_sum_i32(v):
+    """Full i32 reduction to a scalar inside a kernel.  jnp.sum straight
+    to rank-0 makes Mosaic manufacture 64-bit temporaries when the process
+    has x64 enabled (enable_x64(False) around pallas_call does not reach
+    the kernel trace); two keepdims stages plus a [0,0] extract lower
+    cleanly."""
+    s1 = jnp.sum(v, axis=1, keepdims=True, promote_integers=False)
+    return jnp.sum(s1, axis=0, keepdims=True,
+                   promote_integers=False)[0, 0]
+
+
+def _sat_add_u32(a, b):
+    """Saturating unsigned add on u32-as-i32 values."""
+    c = a + b                                   # two's-complement wrap
+    ovf = (c ^ _IMIN) < (a ^ _IMIN)             # unsigned c < a
+    return jnp.where(ovf, I32(-1), c)
+
+
+def _ult(a, b):
+    """Unsigned a < b on u32-as-i32 values."""
+    return (a ^ _IMIN) < (b ^ _IMIN)
+
+
+def _butterfly_concentrate(arrs, live_i32, dest, flat, row, col, R, T):
+    """Move entries with live flag to their dest ranks (monotone) — the
+    butterfly concentrator shared by the compaction kernels."""
+    s = 1
+    while s < T:
+        if s >= 128:
+            axis, amt = 0, s // 128
+            high = (row & I32(s // 128)) != 0
+        else:
+            axis, amt = 1, s
+            high = (col & I32(s)) != 0
+
+        def partner(x):
+            return jnp.where(high, jnp.roll(x, amt, axis=axis),
+                             jnp.roll(x, -amt, axis=axis))
+
+        want = live_i32 * (((flat ^ dest) & I32(s)) != 0).astype(I32)
+        swap = (want + partner(want)) != 0
+        arrs = [jnp.where(swap, partner(x), x) for x in arrs]
+        dest = jnp.where(swap, partner(dest), dest)
+        live_i32 = jnp.where(swap, partner(live_i32), live_i32)
+        s *= 2
+    return arrs
+
+
+# ---------------------------------------------------------------------------
+# fused aggregation + filter + compaction (one pass, SMEM run carry)
+# ---------------------------------------------------------------------------
+
+def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
+    """Aggregate duplicate-key runs (sum counts saturating, min coords),
+    filter by count range, and compact — in ONE pass over the table.
+
+    The XLA formulation needs ~log2(n) full HBM passes per 64-bit scan
+    chain (measured ~0.5 s at 2^26 with coords); here every scan runs in
+    VMEM per tile and runs crossing tile boundaries ride an SMEM carry
+    (the grid is sequential).  A run is emitted by the tile containing its
+    END; a run carried past a tile whose first key no longer matches is
+    emitted as one extra leading entry of that tile.
+
+    Entry layout: kw key words, count word, then 2 coord words if coords.
+    Input must be sorted by key with all dead (all-ones) entries in a
+    trailing block, padded with >= 1 dead tile so the final run flushes.
+    """
+    R = T // 128
+    in_refs = refs[:narr]
+    out_refs = refs[narr : 2 * narr]
+    nlive_ref = refs[2 * narr]
+    scr = refs[2 * narr + 1 : 3 * narr + 1]      # (2T,) write staging
+    rb = refs[3 * narr + 1 : 4 * narr + 1]       # (_Q,) readback
+    carry = refs[4 * narr + 1]                   # SMEM: narr vals + off + live
+    sems = refs[4 * narr + 2]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        for j in range(narr):
+            carry[j] = I32(-1)
+        carry[narr] = I32(0)          # out_off
+        carry[narr + 1] = I32(0)      # carry_live
+
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    flat = row * I32(128) + col
+    a = [r[:].reshape(R, 128) for r in in_refs]
+    live = a[0] != I32(-1)
+
+    c_live = carry[narr + 1] != 0
+    # previous-element key (element 0 sees the carry key)
+    eq_prev = jnp.ones((R, 128), bool)
+    for w in range(kw):
+        pk = _flat_shift_right(a[w], 1, I32(-2), R)     # -2: matches nothing
+        pk = jnp.where(flat == 0,
+                       jnp.where(c_live, carry[w], I32(-2)), pk)
+        eq_prev = eq_prev & (a[w] == pk)
+    new_run = live & ~eq_prev
+    f = new_run.astype(I32)
+
+    cnt = jnp.where(live, a[kw], 0)
+    # inject the carried partial run into element 0 when its key continues
+    # (scalar via masked reduction — Mosaic dislikes vector element extracts)
+    at0 = flat == 0
+    inject = c_live & (_scalar_sum_i32(
+        jnp.where(at0 & eq_prev, I32(1), I32(0))) > 0)
+    cnt = jnp.where(at0 & inject, _sat_add_u32(cnt, carry[kw]), cnt)
+    if coords:
+        chi = jnp.where(live, a[kw + 1], I32(-1))
+        clo = jnp.where(live, a[kw + 2], I32(-1))
+        tk_c = _ult(carry[kw + 1], chi) | \
+            ((carry[kw + 1] == chi) & _ult(carry[kw + 2], clo))
+        chi = jnp.where(at0 & inject & tk_c, carry[kw + 1], chi)
+        clo = jnp.where(at0 & inject & tk_c, carry[kw + 2], clo)
+
+    # segmented inclusive forward scan (Hillis-Steele with boundary flags)
+    s = 1
+    while s < T:
+        pf = _flat_shift_right(f, s, I32(1), R)
+        pc = _flat_shift_right(cnt, s, I32(0), R)
+        absorb = f == 0
+        cnt = jnp.where(absorb, _sat_add_u32(pc, cnt), cnt)
+        if coords:
+            phi = _flat_shift_right(chi, s, I32(-1), R)
+            plo = _flat_shift_right(clo, s, I32(-1), R)
+            take = _ult(phi, chi) | ((phi == chi) & _ult(plo, clo))
+            chi = jnp.where(absorb & take, phi, chi)
+            clo = jnp.where(absorb & take, plo, clo)
+        f = f | pf
+        s *= 2
+
+    # run ends: next element starts a new run or is dead; the LAST element
+    # is never an end here (its run goes to the carry — the input's dead-
+    # tile padding guarantees every real run ends before the final tile)
+    nxt_new = _flat_shift_left(new_run.astype(I32), 1, I32(0), R) != 0
+    nxt_live = _flat_shift_left(live.astype(I32), 1, I32(1), R) != 0
+    is_end = live & (nxt_new | ~nxt_live) & (flat != I32(T - 1))
+    carry_from_last = live & (flat == I32(T - 1))
+
+    in_range = jnp.full((R, 128), True)
+    if lo > 1:
+        in_range = ~_ult(cnt, I32(np.uint32(lo).astype(np.int32)))
+    if hi is not None:
+        in_range = in_range & ~_ult(I32(np.uint32(hi).astype(np.int32)), cnt)
+    e = is_end & in_range
+    e_i32 = e.astype(I32)
+
+    # local exclusive rank of emits (plain inclusive scan, then - e)
+    r_inc = e_i32
+    s = 1
+    while s < T:
+        r_inc = r_inc + _flat_shift_right(r_inc, s, I32(0), R)
+        s *= 2
+    rank = r_inc - e_i32
+    tile_emits = _scalar_sum_i32(e_i32)
+
+    # carried-run completion: previous run ends here without continuation
+    completed = c_live & ~inject
+    c_cnt = carry[kw]
+    c_ok = completed
+    if lo > 1:
+        c_ok = c_ok & ~_ult(c_cnt, I32(np.uint32(lo).astype(np.int32)))
+    if hi is not None:
+        c_ok = c_ok & ~_ult(I32(np.uint32(hi).astype(np.int32)), c_cnt)
+    c_emit = jnp.where(c_ok, I32(1), I32(0))
+
+    # emitted entry words (at end positions); everything else dead
+    vals = [jnp.where(e, a[w], I32(-1)) for w in range(kw)]
+    vals.append(jnp.where(e, cnt, I32(-1)))
+    if coords:
+        vals.append(jnp.where(e, chi, I32(-1)))
+        vals.append(jnp.where(e, clo, I32(-1)))
+
+    dest = jnp.where(e, rank, flat)
+    vals = _butterfly_concentrate(vals, e_i32, dest, flat, row, col, R, T)
+
+    # aligned 2T write window: [prev partial block | carry entry? | emits]
+    off = carry[narr]
+    base = pl.multiple_of((off >> I32(10)) << I32(10), _Q)
+    gap = off & I32(_Q - 1)
+
+    rb_copies = []
+    for j in range(narr):
+        c = pltpu.make_async_copy(out_refs[j].at[pl.ds(base, _Q)], rb[j],
+                                  sems.at[narr + j])
+        c.start()
+        rb_copies.append(c)
+    for c in rb_copies:
+        c.wait()
+
+    R2 = 2 * R
+    flat2 = (jax.lax.broadcasted_iota(I32, (R2, 128), 0) * I32(128)
+             + jax.lax.broadcasted_iota(I32, (R2, 128), 1))
+    sent_rows = jnp.full((R, 128), I32(-1))
+    shift = gap + c_emit
+    copies = []
+    for j in range(narr):
+        padded = jnp.concatenate([vals[j], sent_rows], axis=0)
+        rot = _rotate_flat(padded, (I32(2 * T) - shift) & I32(2 * T - 1), R2)
+        rb_parts = [rb[j][:].reshape(_Q // 128, 128)]
+        if R2 > _Q // 128:
+            rb_parts.append(jnp.zeros((R2 - _Q // 128, 128), I32))
+        rb_rows = jnp.concatenate(rb_parts, axis=0)
+        combined = jnp.where(flat2 < gap, rb_rows,
+                             jnp.where((flat2 == gap) & (c_emit > 0),
+                                       carry[j], rot))
+        scr[j][:] = combined.reshape(2 * T)
+        c = pltpu.make_async_copy(scr[j], out_refs[j].at[pl.ds(base, 2 * T)],
+                                  sems.at[j])
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+    # SMEM updates for the next tile
+    def lastv(x):
+        return _scalar_sum_i32(jnp.where(flat == I32(T - 1), x, 0))
+
+    new_c_live = _scalar_sum_i32(
+        jnp.where(carry_from_last, I32(1), I32(0)))
+    for w in range(kw):
+        carry[w] = jnp.where(new_c_live > 0, lastv(a[w]), I32(-1))
+    carry[kw] = jnp.where(new_c_live > 0, lastv(cnt), I32(-1))
+    if coords:
+        carry[kw + 1] = jnp.where(new_c_live > 0, lastv(chi), I32(-1))
+        carry[kw + 2] = jnp.where(new_c_live > 0, lastv(clo), I32(-1))
+    carry[narr] = off + tile_emits + c_emit
+    carry[narr + 1] = new_c_live
+    nlive_ref[0] = off + tile_emits + c_emit
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kw", "coords", "lo", "hi", "tile"))
+def aggregate_compact_u32(arrs, kw: int = 1, coords: bool = False,
+                          lo: int = 1, hi: int | None = None,
+                          tile: int = 1 << 15):
+    """One-pass aggregate+filter+compact of a sorted entry table.
+
+    arrs: (key words x kw, count, [coord_hi, coord_lo]) uint32 arrays,
+    sorted by key, dead (all-ones) entries in a trailing block.  Returns
+    (arrs', n_live): one entry per distinct key with lo <= count <= hi
+    (counts saturate at 2^32-1; coords take the lexicographic min — the
+    global first occurrence), stably compacted, dead-filled tail.
+    """
+    narr = len(arrs)
+    assert narr == kw + 1 + (2 if coords else 0)
+    arrs = [jnp.asarray(x, U32) for x in arrs]
+    m = arrs[0].shape[0]
+    # shrink the tile for small tables: fewer in-kernel stages, far
+    # smaller (interpret-mode/CPU) compile
+    T = min(tile, max(_Q, 1 << (m - 1).bit_length()))
+    assert T >= _Q and T & (T - 1) == 0
+    # >= 1 full dead tile of padding so the final run always flushes
+    n_tiles = -(-m // T) + 1
+    pad = n_tiles * T - m
+    arrs = [jnp.concatenate([x, jnp.full((pad,), SENT32, U32)])
+            for x in arrs]
+    a_i32 = [jax.lax.bitcast_convert_type(x, I32) for x in arrs]
+    M = n_tiles * T
+
+    kern = functools.partial(_aggcompact_kernel, narr=narr, kw=kw, T=T,
+                             lo=lo, hi=hi, coords=coords)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((T,), lambda i: (i,),
+                               memory_space=pltpu.VMEM)] * narr,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.VMEM((2 * T,), I32)] * narr
+        + [pltpu.VMEM((_Q,), I32)] * narr
+        + [pltpu.SMEM((narr + 2,), I32)]
+        + [pltpu.SemaphoreType.DMA((2 * narr,))],
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((M + 2 * T,), I32)] * narr
+            + [jax.ShapeDtypeStruct((1,), I32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(*a_i32)
+    n_live = outs[narr][0]
+    idx = jnp.arange(m, dtype=I32)
+    res = tuple(jnp.where(idx < n_live,
+                          jax.lax.bitcast_convert_type(o[:m], U32), SENT32)
+                for o in outs[:narr])
+    return res, n_live
+
+
 # ---------------------------------------------------------------------------
 # stable compaction: butterfly concentrator + dynamic-offset output DMA
 # ---------------------------------------------------------------------------
@@ -402,10 +714,10 @@ def compact_live_u32(arrs, tile: int = 1 << 15):
     every array.
     """
     narr = len(arrs)
-    T = tile
-    assert T >= _Q and T & (T - 1) == 0, "tile must be a pow2 >= 1024"
     arrs = [jnp.asarray(x, U32) for x in arrs]
     m = arrs[0].shape[0]
+    T = min(tile, max(_Q, 1 << (m - 1).bit_length()))
+    assert T >= _Q and T & (T - 1) == 0, "tile must be a pow2 >= 1024"
     n_tiles = -(-m // T)
     pad = n_tiles * T - m
     if pad:
