@@ -90,7 +90,13 @@ def main(argv=None):
         # (the multiple-kmer dump is reloaded into a map, kmercount.rs:1291)
         # and runs ~2x faster without the two coordinate words
         coords = not args.count
-        capacity = args.capacity or _auto_capacity(args.filename, coords)
+        cap_max = args.capacity or _auto_capacity(args.filename, coords)
+        # start small and GROW x8 when occupancy stays high: folds over a
+        # mostly-empty oversized table waste merge bandwidth, and the
+        # auto-compact inside fold guarantees `used` only stays high when
+        # the DISTINCT count is high (dups compact away first), so the
+        # growth trigger is a plain occupancy check
+        capacity = min(cap_max, 1 << 25)
         table = stream.StreamCountTable.create(capacity, wide=k > 16,
                                                coords=coords)
         prep = jax.jit(stream.batch_entries,
@@ -110,7 +116,11 @@ def main(argv=None):
                 # host fetch of a scalar from 2 folds ago: bounds the async
                 # dispatch depth (block_until_ready does not block on the
                 # axon backend — a fetch does)
-                int(np.asarray(pending.pop(0)))
+                used = int(np.asarray(pending.pop(0)))
+                if (capacity < cap_max
+                        and used > capacity - 2 * stream.BATCH_CAP):
+                    capacity = min(capacity * 8, cap_max)
+                    table = stream.grow(table, capacity)
         if args.count:
             keys, counts, frn, fps, dropped = stream.finalize(
                 table, min_count=2)

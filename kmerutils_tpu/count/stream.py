@@ -172,6 +172,24 @@ def compact(table: StreamCountTable) -> StreamCountTable:
     return _compact(table)
 
 
+def grow(table: StreamCountTable, new_capacity: int) -> StreamCountTable:
+    """Grow the table's capacity in place: live entries are a sorted prefix
+    (merges keep sentinels at the tail), so growth is ONE sentinel-pad
+    concatenation — no re-sort, no merge.  The cuckoo-resize role of the
+    reference's capacity bound (kmercount.rs:297-307), but cheap enough to
+    run mid-stream: callers start small and grow x8 only when occupancy
+    stays high after compaction (see cli/parsefastq)."""
+    S = table.capacity
+    if new_capacity <= S:
+        return table
+    pad = new_capacity - S
+    return StreamCountTable(
+        arrs=tuple(jnp.concatenate([a, jnp.full((pad,), SENT32, U32)])
+                   for a in table.arrs),
+        used=table.used, n_dropped=table.n_dropped,
+        wide=table.wide, coords=table.coords)
+
+
 def finalize(table: StreamCountTable, min_count: int = 1,
              max_count: int | None = None):
     """Aggregate + compact + filter on device, then ONE host transfer.

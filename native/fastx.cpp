@@ -28,6 +28,8 @@
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <condition_variable>
+#include <mutex>
 #include <thread>
 #include <vector>
 #include <zlib.h>
@@ -36,8 +38,94 @@ namespace {
 
 constexpr size_t CHUNK = 1 << 20;
 
+// Background decompressor: a reader thread pulls CHUNK slabs through
+// gzread (zlib inflate / plain read) into a small ring while the caller's
+// thread parses and encodes — the double-buffering the ingest pipeline
+// needs to keep the encoder fed (the reference reads synchronously on the
+// parse thread, io.rs:12-72; kmercount.rs's producer/consumer channels
+// play this role for counting).
+struct Reader {
+    gzFile gz = nullptr;
+    std::thread th;
+    std::mutex mu;
+    std::condition_variable cv_prod, cv_cons;
+    static constexpr int NBUF = 4;
+    struct Slab {
+        std::vector<char> data;
+        size_t len = 0;
+    };
+    Slab slabs[NBUF];
+    int produced = 0, consumed = 0;
+    bool done = false, stop = false;
+
+    void start(gzFile f) {
+        gz = f;
+        th = std::thread([this] { loop(); });
+    }
+
+    void loop() {
+        for (;;) {
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_prod.wait(lk, [&] {
+                    return stop || produced - consumed < NBUF;
+                });
+                if (stop) return;
+            }
+            Slab &s = slabs[produced % NBUF];
+            s.data.resize(CHUNK);
+            int n = gzread(gz, s.data.data(), static_cast<unsigned>(CHUNK));
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                s.len = n > 0 ? static_cast<size_t>(n) : 0;
+                ++produced;
+                if (n <= 0) done = true;
+            }
+            cv_cons.notify_all();
+            if (n <= 0) return;
+        }
+    }
+
+    // Blocks until a slab is available; false at EOF.  The pointer stays
+    // valid until advance() (the producer never reuses an unconsumed slab).
+    bool next(const char **p, size_t *n) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_cons.wait(lk, [&] { return produced > consumed || done; });
+        while (produced > consumed) {
+            Slab &s = slabs[consumed % NBUF];
+            if (s.len == 0) {       // terminal empty slab
+                ++consumed;
+                cv_prod.notify_all();
+                continue;
+            }
+            *p = s.data.data();
+            *n = s.len;
+            return true;
+        }
+        return false;
+    }
+
+    void advance() {
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            ++consumed;
+        }
+        cv_prod.notify_all();
+    }
+
+    void shutdown() {
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            stop = true;
+        }
+        cv_prod.notify_all();
+        if (th.joinable()) th.join();
+    }
+};
+
 struct Parser {
     gzFile gz = nullptr;           // zlib handles plain files transparently
+    Reader reader;                 // background decompress thread
     char *buf = nullptr;           // carry buffer for partial lines
     size_t buf_len = 0, buf_cap = 0;
     size_t pos = 0;                // scan position in buf
@@ -66,9 +154,15 @@ struct Parser {
             buf_cap = buf_cap ? buf_cap * 2 : (CHUNK * 2);
             buf = static_cast<char *>(realloc(buf, buf_cap));
         }
-        int n = gzread(gz, buf + buf_len, static_cast<unsigned>(CHUNK));
-        if (n <= 0) { eof = true; return buf_len > pos; }
-        buf_len += static_cast<size_t>(n);
+        const char *slab;
+        size_t n;
+        if (!reader.next(&slab, &n)) {
+            eof = true;
+            return buf_len > pos;
+        }
+        memcpy(buf + buf_len, slab, n);
+        reader.advance();
+        buf_len += n;
         return true;
     }
 
@@ -126,12 +220,14 @@ void *ktp_open(const char *path) {
     gzbuffer(f, 1 << 20);
     Parser *p = new Parser();
     p->gz = f;
+    p->reader.start(f);     // decompress-ahead thread (double buffering)
     return p;
 }
 
 void ktp_close(void *h) {
     Parser *p = static_cast<Parser *>(h);
     if (!p) return;
+    p->reader.shutdown();
     gzclose(p->gz);
     free(p->buf);
     delete p;

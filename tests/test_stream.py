@@ -190,3 +190,29 @@ def test_stream_table_overflow_drops_largest():
     # surviving key may carry a partial count at the drop boundary)
     assert np.array_equal(keys_s, keys_all[:n])
     assert np.array_equal(counts_s[:-1], counts_all[:n - 1])
+
+
+def test_grow_mid_stream():
+    # growth is a sentinel-pad: counts and coords must be unaffected by a
+    # grow between folds (the CLI grows x8 when occupancy stays high)
+    k = 11
+    b1 = _random_reads(6, 100, 300)
+    b2 = _random_reads(6, 100, 300)
+    table = stream.StreamCountTable.create(1 << 12, wide=False, coords=True)
+    arrs, live = stream.batch_entries(pack_ascii_reads(b1), k, 0,
+                                      coords=True)
+    table = stream.fold(table, arrs, live)
+    table = stream.grow(table, 1 << 14)
+    assert table.capacity == 1 << 14
+    arrs, live = stream.batch_entries(pack_ascii_reads(b2), k, len(b1),
+                                      coords=True)
+    table = stream.fold(table, arrs, live)
+    keys, counts, rn, ps, dropped = stream.finalize(table)
+    assert dropped == 0
+    oracle, first = _oracle_counts(b1 + b2, k)
+    vals = {kmer_mod.kmer_value_from_str(s): (c, first[s])
+            for s, c in oracle.items()}
+    assert len(keys) == len(vals)
+    for key, cnt, r, p in zip(keys, counts, rn, ps):
+        exp_c, exp_coord = vals[int(key)]
+        assert int(cnt) == exp_c and (int(r), int(p)) == exp_coord
