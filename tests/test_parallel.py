@@ -150,3 +150,51 @@ class TestShardedStreamingTable:
                           kmer_mod.kmer_value_from_str(revcomp_str(sub)))
                 first.setdefault(can, (r, p))
         assert got_first == first
+
+
+class TestShardedStream:
+    @pytest.mark.parametrize("k,coords", [(13, False), (13, True),
+                                          (21, True)])
+    def test_matches_oracle_across_batches(self, rng, mesh8, k, coords):
+        # multi-chip streaming through the Pallas merge-fold tables: two
+        # sequential batches, per-shard disjoint tables, host union ==
+        # Counter oracle (+ first-occurrence coords)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh8, P(kmesh.READS_AXIS))
+        batches = []
+        for _ in range(2):
+            reads = ["".join(rng.choice(list("ACGT"), size=160))
+                     for _ in range(16)]
+            b = pack_ascii_reads(reads)
+            from kmerutils_tpu.base.sequence import ReadBatch
+            batches.append((reads, ReadBatch(
+                words=jax.device_put(np.asarray(b.words), sh),
+                lengths=jax.device_put(np.asarray(b.lengths), sh))))
+
+        table = collective.sharded_stream_create(1 << 12, mesh8,
+                                                 wide=k > 16, coords=coords)
+        offset = 0
+        for reads, gb in batches:
+            table, dropped = collective.sharded_stream_update(
+                table, gb, k, mesh8, read_num_offset=offset)
+            assert int(np.asarray(dropped).sum()) == 0
+            offset += len(reads)
+        keys, counts, rn, ps, dropped = collective.sharded_stream_finalize(
+            table, mesh8)
+        assert dropped == 0
+
+        all_reads = [r for reads, _ in batches for r in reads]
+        want = oracle_counts(all_reads, k)
+        got = dict(zip(keys.tolist(), counts.tolist()))
+        assert got == dict(want)
+        if coords:
+            first = {}
+            for i, r in enumerate(all_reads):
+                for p in range(len(r) - k + 1):
+                    sub = r[p:p + k]
+                    v = min(kmer.kmer_value_from_str(sub),
+                            kmer.kmer_value_from_str(revcomp_str(sub)))
+                    first.setdefault(v, (i, p))
+            for v, r_, p_ in zip(keys.tolist(), rn.tolist(), ps.tolist()):
+                assert first[v] == (r_, p_), v
