@@ -145,17 +145,25 @@ def main(argv=None):
 
     sk = Sketcher(params=params)
     # block-accumulate (no per-read python loop: batches are length-bucketed
-    # so row -> read mapping is restored by ONE argsort at the end)
+    # so row -> read mapping is restored by ONE argsort at the end).
+    # Signatures materialize to host with a ONE-batch lag: the fetch both
+    # bounds the async dispatch depth (block_until_ready does not block on
+    # the axon backend) and keeps only one signature buffer in HBM.
     blocks: list = []
     block_idx: list = []
+    prev = None
     for batch, idx in fastx.read_batches_overlapped(
             args.filename, batch_reads=pack, stats=st):
-        blocks.append(sk.sketch_batch(batch))
-        block_idx.append(np.asarray(idx))
+        cur = (sk.sketch_batch(batch), np.asarray(idx))
+        if prev is not None:
+            blocks.append(np.asarray(prev[0])[: len(prev[1])])
+            block_idx.append(prev[1])
+        prev = cur
+    if prev is not None:
+        blocks.append(np.asarray(prev[0])[: len(prev[1])])
+        block_idx.append(prev[1])
     all_idx = np.concatenate(block_idx)
-    all_sigs = np.concatenate([np.asarray(b)[: len(i)]
-                               for b, i in zip(blocks, block_idx)])
-    ordered = all_sigs[np.argsort(all_idx, kind="stable")]
+    ordered = np.concatenate(blocks)[np.argsort(all_idx, kind="stable")]
     n_sketched = len(all_idx)
     sig_u32 = ordered.astype(np.uint32) if params.algo in (
         SketchAlgo.PROB3A, SketchAlgo.SUPER2) else ordered

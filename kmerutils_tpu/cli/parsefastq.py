@@ -91,12 +91,15 @@ def main(argv=None):
         # and runs ~2x faster without the two coordinate words
         coords = not args.count
         cap_max = args.capacity or _auto_capacity(args.filename, coords)
-        # start small and GROW x8 when occupancy stays high: folds over a
-        # mostly-empty oversized table waste merge bandwidth, and the
-        # auto-compact inside fold guarantees `used` only stays high when
-        # the DISTINCT count is high (dups compact away first), so the
-        # growth trigger is a plain occupancy check
-        capacity = min(cap_max, 1 << 25)
+        # start small and GROW toward cap_max only when needed: folds over
+        # a mostly-empty oversized table waste merge bandwidth.  The
+        # trigger is the table's own grow_hint — raised on DEVICE right
+        # after a compaction, when the fresh DISTINCT count is within 4
+        # batches of capacity (plain `used` is inflated by pending
+        # duplicates and would grow spuriously; and the 4-batch margin
+        # covers the 2-fold staleness of the host fetch, so growth lands
+        # before any fold can drop)
+        capacity = min(cap_max, 1 << 26)
         table = stream.StreamCountTable.create(capacity, wide=k > 16,
                                                coords=coords)
         prep = jax.jit(stream.batch_entries,
@@ -111,14 +114,13 @@ def main(argv=None):
                               coords=coords)
             table = stream.fold(table, arrs, live)
             offset += len(idx)  # real reads only (batch may be shape-padded)
-            pending.append(table.used)
+            pending.append(table.grow_hint)
             if len(pending) > 2:
                 # host fetch of a scalar from 2 folds ago: bounds the async
                 # dispatch depth (block_until_ready does not block on the
                 # axon backend — a fetch does)
-                used = int(np.asarray(pending.pop(0)))
-                if (capacity < cap_max
-                        and used > capacity - 2 * stream.BATCH_CAP):
+                hint = int(np.asarray(pending.pop(0)))
+                if hint and capacity < cap_max:
                     capacity = min(capacity * 8, cap_max)
                     table = stream.grow(table, capacity)
         if args.count:

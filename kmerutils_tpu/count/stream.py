@@ -73,6 +73,14 @@ class StreamCountTable:
     arrs: tuple
     used: jax.Array
     n_dropped: jax.Array
+    # post-compaction occupancy signal for growth policies: set by fold to 1
+    # when a compaction just ran AND the fresh DISTINCT count is within
+    # 4*BATCH_CAP of capacity.  `used` alone cannot drive growth — it is
+    # inflated by pending duplicates between compactions — while this flag
+    # is only raised on clean post-compact state, and the 4-batch margin
+    # absorbs the host's fetch lag before it reacts (see cli/parsefastq).
+    grow_hint: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     # pytree-static config
     wide: bool = dataclasses.field(metadata=dict(static=True), default=False)
@@ -89,6 +97,7 @@ class StreamCountTable:
             arrs=tuple(jnp.full(capacity, SENT32, U32) for _ in range(narr)),
             used=jnp.zeros((), jnp.int32),
             n_dropped=jnp.zeros((), I64),
+            grow_hint=jnp.zeros((), jnp.int32),
             wide=wide, coords=coords)
 
 
@@ -158,12 +167,23 @@ def fold(table: StreamCountTable, batch_arrs, batch_live):
         return StreamCountTable(arrs=arrs,
                                 used=jnp.minimum(used, S),
                                 n_dropped=t.n_dropped + dropped,
+                                grow_hint=t.grow_hint,
                                 wide=t.wide, coords=t.coords)
+
+    def compact_and_flag(t):
+        t = _compact(t)
+        # t.used is now the true DISTINCT count; raise the growth hint
+        # while there are still >= 4 batches of slack (host fetch lag)
+        hint = (t.used + batch_live
+                > S - min(4 * BATCH_CAP, S // 2)).astype(jnp.int32)
+        return dataclasses.replace(t, grow_hint=hint)
 
     headroom = min(BATCH_CAP, S // 2)    # small (test-sized) tables compact
     #                                      at half occupancy instead
     need = table.used + batch_live > S - headroom
-    table = jax.lax.cond(need, _compact, lambda t: t, table)
+    table = jax.lax.cond(need, compact_and_flag,
+                         lambda t: dataclasses.replace(
+                             t, grow_hint=jnp.zeros((), jnp.int32)), table)
     return do_fold(table)
 
 

@@ -67,10 +67,14 @@ def iter_fastx(path: str):
                 seq = b"".join(seq_parts)
                 qual_parts: list[bytes] = []
                 qlen = 0
-                while qlen < len(seq):
+                # a zero-length read still carries ONE (empty) quality line —
+                # skipping it would desynchronize every later record
+                first_q = True
+                while qlen < len(seq) or first_q:
                     line = f.readline()
                     if not line:
                         break
+                    first_q = False
                     part = line.rstrip()
                     qual_parts.append(part)
                     qlen += len(part)

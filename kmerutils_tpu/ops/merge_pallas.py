@@ -657,27 +657,7 @@ def _compact_kernel(off_ref, *refs, narr, T):
     live = (arrs[0] != I32(-1)).astype(I32)     # i32 flag: bool rolls/selects
     #                                             don't lower in Mosaic
     dest = jnp.where(live != 0, rank_ref[:].reshape(R, 128) - off, flat)
-
-    s = 1
-    while s < T:
-        if s >= 128:
-            axis, amt = 0, s // 128
-            high = (row & I32(s // 128)) != 0
-        else:
-            axis, amt = 1, s
-            high = (col & I32(s)) != 0
-
-        def partner(x):
-            return jnp.where(high, jnp.roll(x, amt, axis=axis),
-                             jnp.roll(x, -amt, axis=axis))
-
-        want = live * (((flat ^ dest) & I32(s)) != 0).astype(I32)
-        swap = (want + partner(want)) != 0
-        moved = [jnp.where(swap, partner(x), x) for x in arrs]
-        dest = jnp.where(swap, partner(dest), dest)
-        live = jnp.where(swap, partner(live), live)
-        arrs = moved
-        s *= 2
+    arrs = _butterfly_concentrate(arrs, live, dest, flat, row, col, R, T)
 
     for c in rb_copies:
         c.wait()

@@ -269,7 +269,10 @@ long ktp_next_block(void *h, uint8_t *codes_buf, long cap,
                 codes_buf[used + static_cast<int64_t>(i)] = c;
             }
             size_t l2, l3;
-            p->next_line(&l2);          // '+'
+            char *plus = p->next_line(&l2);     // '+' separator
+            // a wrapped (multi-line) record would put sequence here —
+            // fail fast so the python fallback parser takes over
+            if (!plus || l2 == 0 || plus[0] != '+') return -1;
             p->next_line(&l3);          // quality (skipped)
             stats[0] += static_cast<int64_t>(slen);
             stats[3] += 1;
@@ -362,7 +365,8 @@ long ktp_next_block_packed(void *h, uint32_t *words_buf, long cap_words,
             if (!seq) break;
             p->stage.insert(p->stage.end(), seq, seq + slen);
             size_t l2, l3;
-            p->next_line(&l2);          // '+'
+            char *plus = p->next_line(&l2);     // '+' separator
+            if (!plus || l2 == 0 || plus[0] != '+') return -1;
             p->next_line(&l3);          // quality (skipped)
         } else {
             if (line[0] != '>') return -1;
@@ -475,6 +479,15 @@ long ktp_next_block_qual(void *h, uint8_t *qual_buf, long cap,
     long n_reads = 0;
     int64_t used = 0;
     offsets[0] = 0;
+    if (p->has_pending) {       // record carried from a full prior block
+        int64_t qlen = static_cast<int64_t>(p->pending.size());
+        if (qlen > cap) return -1;
+        memcpy(qual_buf, p->pending.data(), p->pending.size());
+        used = qlen;
+        offsets[++n_reads] = used;
+        p->has_pending = false;
+        p->pending.clear();
+    }
     while (n_reads < max_reads) {
         size_t len;
         char *line = p->next_line(&len);
@@ -484,11 +497,20 @@ long ktp_next_block_qual(void *h, uint8_t *qual_buf, long cap,
         size_t slen;
         if (!p->next_line(&slen)) break;      // sequence (skipped)
         size_t l2;
-        if (!p->next_line(&l2)) break;        // '+'
+        char *plus = p->next_line(&l2);       // '+' separator
+        // wrapped records put sequence here — fail fast (python fallback)
+        if (!plus || l2 == 0 || plus[0] != '+') return -1;
         size_t qlen;
         char *qual = p->next_line(&qlen);
         if (!qual) break;
-        if (used + static_cast<int64_t>(qlen) > cap) return -1;
+        if (used + static_cast<int64_t>(qlen) > cap) {
+            // block full: the record is already consumed from the stream,
+            // so stash its quality for the NEXT call instead of losing it
+            if (n_reads == 0) return -1;      // cap too small for one read
+            p->pending.assign(qual, qual + qlen);
+            p->has_pending = true;
+            return n_reads;
+        }
         memcpy(qual_buf + used, qual, qlen);
         used += static_cast<int64_t>(qlen);
         offsets[++n_reads] = used;

@@ -323,3 +323,13 @@ class TestWrappedFastq:
         a = [(rid, s) for rid, s, _ in fastx.iter_fastx(flat)]
         b = [(rid, s) for rid, s, _ in fastx.iter_fastx(wrapped)]
         assert a == b
+
+    def test_empty_read_keeps_sync(self, tmp_path):
+        # an adapter-trimmed zero-length read still carries ONE empty
+        # quality line; skipping it desynchronized every later record
+        p = str(tmp_path / "empty.fastq")
+        with open(p, "w") as f:
+            f.write("@r0\n\n+\n\n@r1\nACGT\n+\nIIII\n@r2\nGGTT\n+\nIIII\n")
+        recs = list(fastx.iter_fastx(p))
+        assert [(r[0], r[1]) for r in recs] == [
+            (b"r0", b""), (b"r1", b"ACGT"), (b"r2", b"GGTT")]

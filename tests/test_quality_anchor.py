@@ -189,3 +189,25 @@ class TestNativeQualityPath:
         for wm, exp in zip(via_native, expected):
             got = wm.decompress().qseq
             assert (got == Q.remap_quality8(exp)).all()
+
+    def test_native_qual_blocks_carry_overflow(self, tmp_path):
+        # a block that fills mid-record must carry the consumed record's
+        # quality to the next call instead of failing (long-read files)
+        from kmerutils_tpu.io import fastx, native
+        if not (native.available()
+                and hasattr(native._load(), "ktp_next_block_qual")):
+            pytest.skip("native qual parser not built")
+        rng = np.random.default_rng(8)
+        reads = ["".join(rng.choice(list("ACGT"), size=1000))
+                 for _ in range(20)]
+        quals = ["".join(chr(int(q)) for q in rng.integers(0x21, 0x4B, 1000))
+                 for _ in reads]
+        p = str(tmp_path / "long.fastq")
+        fastx.write_fastq(p, reads, quals)
+        got = []
+        # cap fits ~2.5 reads -> forces the pending carry repeatedly
+        for q, off in native.iter_quality_blocks(p, block_reads=100,
+                                                 cap_bytes=2500):
+            for r in range(len(off) - 1):
+                got.append(bytes(q[off[r]: off[r + 1]]))
+        assert got == [q.encode() for q in quals]

@@ -27,7 +27,12 @@ def check(name, ok):
 
 
 def smoke_tournament(rng):
-    """Pallas weighted tournament == fused-XLA formulation, bit-exact."""
+    """Pallas weighted tournament == fused-XLA formulation, bit-exact.
+
+    On a TPU backend probminhash auto-dispatches to the Pallas kernel, so
+    the XLA reference must be FORCED off — otherwise this compares the
+    kernel with itself."""
+    from kmerutils_tpu import config
     from kmerutils_tpu.ops.tournament import weighted_tournament
     from kmerutils_tpu.sketch import probminhash
 
@@ -36,7 +41,11 @@ def smoke_tournament(rng):
     w = rng.integers(1, 5, size=(n, p)).astype(np.int32)
     valid = rng.random((n, p)) < 0.9
     winv = np.where(valid, 1.0 / w, 0.0).astype(np.float32)
-    sig_xla, _ = probminhash._tournament(items, winv, valid, m, 0)
+    config.use_pallas_tournament = False
+    try:
+        sig_xla, _ = probminhash._tournament(items, winv, valid, m, 0)
+    finally:
+        config.use_pallas_tournament = None
     sig_pal = weighted_tournament(jnp.asarray(items), jnp.asarray(winv),
                                   m, seed=0)
     return check("pallas tournament == XLA (u32)",
