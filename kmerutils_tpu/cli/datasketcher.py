@@ -130,8 +130,8 @@ def main(argv=None):
 
     if args.block_size:
         per_seq = []
-        for batch, idx in fastx.read_batches(args.filename, batch_reads=pack,
-                                             stats=st, bucket=False):
+        for batch, idx in fastx.read_batches_overlapped(
+                args.filename, batch_reads=pack, stats=st, bucket=False):
             res = blockmod.block_sketch(batch, args.kmer_size,
                                         args.sketch_size, args.block_size)
             per_seq.extend(blockmod.flatten_for_dump(res, idx))
