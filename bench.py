@@ -153,11 +153,67 @@ def bench_e2e_file_sketch(rng):
     return st.n_bases / dt / 1e6
 
 
+def bench_e2e_file_count(rng):
+    """End-to-end on-disk FASTQ -> whole-file exact counts through the
+    streaming table (the `parsefastq --count` pipeline), ingest
+    overlapped.  A ~100 MB coverage FASTQ (reads sampled from a 20 Mbase
+    genome) is generated once and cached in /tmp."""
+    import os
+    from kmerutils_tpu.io import fastx
+    from kmerutils_tpu.count import stream
+
+    path = "/tmp/kmerutils_bench_cov19.fastq"
+    # ~19x coverage of a 5 Mbase genome: the dump (~5 M distinct) stays
+    # small relative to the input, like real ONT counting — the result
+    # transfer is part of the measured end-to-end time either way
+    n_reads, rl = 16000, 6000
+    if not (os.path.exists(path)
+            and os.path.getsize(path) > n_reads * rl * 2):
+        genome = rng.integers(0, 4, size=5 << 20, dtype=np.uint8)
+        lut = np.frombuffer(b"ACGT", np.uint8)
+        with open(path, "wb") as f:
+            qual = b"I" * rl
+            for i in range(n_reads):
+                s = int(rng.integers(0, genome.size - rl))
+                f.write(b"@r%d\n" % i)
+                f.write(lut[genome[s : s + rl]].tobytes())
+                f.write(b"\n+\n")
+                f.write(qual)
+                f.write(b"\n")
+    K = 16
+    table = stream.StreamCountTable.create(1 << 26, wide=False, coords=False)
+    prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
+    # warmup compile on the first batch shape
+    it = fastx.read_batches(path, bucket=False)
+    b0, _ = next(it)
+    arrs, live = prep(b0, k=K, read_num_offset=0, coords=False)
+    table = stream.fold(table, arrs, live)
+    _ = int(np.asarray(table.used))
+    del it
+    table = stream.StreamCountTable.create(1 << 26, wide=False, coords=False)
+
+    t0 = time.perf_counter()
+    st = fastx.IngestStats()
+    pending = []
+    for batch, idx in fastx.read_batches_overlapped(path, stats=st,
+                                                    bucket=False):
+        arrs, live = prep(batch, k=K, read_num_offset=0, coords=False)
+        table = stream.fold(table, arrs, live)
+        pending.append(table.used)
+        if len(pending) > 2:
+            int(np.asarray(pending.pop(0)))
+    keys, counts, _, _, dropped = stream.finalize(table, min_count=2)
+    dt = time.perf_counter() - t0
+    assert len(keys) > 0 and dropped == 0
+    return st.n_bases / dt / 1e6
+
+
 def main():
     rng = np.random.default_rng(42)
     mbases_s = bench_sketch(rng)
     count_kmers_s, count_mbases_s = bench_stream_count(rng)
     e2e_mbases_s = bench_e2e_file_sketch(rng)
+    e2e_count_mbases_s = bench_e2e_file_count(rng)
     out = {
         "metric": "probminhash_sketch_throughput_k8_m200",
         "value": round(mbases_s, 2),
@@ -169,6 +225,7 @@ def main():
             "e2e_file_sketch_mbases_s": round(e2e_mbases_s, 2),
             "e2e_vs_baseline": round(e2e_mbases_s / BASELINE_MBASES_PER_S,
                                      3),
+            "e2e_file_count_mbases_s": round(e2e_count_mbases_s, 2),
         },
     }
     print(json.dumps(out))
