@@ -124,8 +124,10 @@ def main(argv=None):
                     capacity = min(capacity * 8, cap_max)
                     table = stream.grow(table, capacity)
         if args.count:
+            bpc = 1 if args.counter_size <= 8 else 2
             keys, counts, frn, fps, dropped = stream.finalize(
-                table, min_count=2)
+                table, min_count=2,
+                count_clamp=(1 << (8 * bpc)) - 1)
         else:
             keys, counts, frn, fps, dropped = stream.finalize(table, 1, 1)
         if dropped:
@@ -137,7 +139,6 @@ def main(argv=None):
             # map; the reference's own dump order is channel-arbitrary,
             # kmercount.rs:756-770)
             out = args.filename + ".multi_kmer.bin"
-            bpc = 1 if args.counter_size <= 8 else 2
             n = formats.write_multiple_kmer_dump(
                 out, k, keys, counts, bytes_per_count=bpc)
             print(f"dumped {n} multiple kmers to {out}")

@@ -216,21 +216,29 @@ def grow(table: StreamCountTable, new_capacity: int) -> StreamCountTable:
 
 
 def finalize(table: StreamCountTable, min_count: int = 1,
-             max_count: int | None = None):
+             max_count: int | None = None, count_clamp: int | None = None):
     """Aggregate + compact + filter on device, then ONE host transfer.
 
-    Returns numpy (keys u32/u64 UNBIASED, counts u32, read_nums u32,
+    Returns numpy (keys u32/u64 UNBIASED, counts, read_nums u32,
     positions u32) ascending by key (read_nums/positions all-zero when the
-    table tracks no coordinates).
+    table tracks no coordinates).  ``count_clamp`` saturates counts on
+    DEVICE to 0xFF/0xFFFF and transfers them at 1/2 bytes each — the dump
+    formats saturate anyway (kmercount.rs counter_size), and the
+    device->host link is the finalize bottleneck.
     """
-    @functools.partial(jax.jit, static_argnames=("lo", "hi"))
-    def run(t, lo, hi):
+    @functools.partial(jax.jit, static_argnames=("lo", "hi", "clamp"))
+    def run(t, lo, hi, clamp):
         # ONE fused aggregate+filter+compact pass (ops/merge_pallas.py)
         outs, n = aggregate_compact_u32(
             t.arrs, kw=2 if t.wide else 1, coords=t.coords, lo=lo, hi=hi)
+        if clamp is not None:
+            kw_ = 2 if t.wide else 1
+            dt = jnp.uint8 if clamp <= 0xFF else jnp.uint16
+            cc = jnp.minimum(outs[kw_], U32(clamp)).astype(dt)
+            outs = outs[:kw_] + (cc,) + outs[kw_ + 1:]
         return outs, n, t.n_dropped
 
-    outs, n, dropped = run(table, min_count, max_count)
+    outs, n, dropped = run(table, min_count, max_count, count_clamp)
     n = int(n)
     host = [np.asarray(o[:n]) for o in outs]
     kw = 2 if table.wide else 1
