@@ -43,6 +43,12 @@ def build_parser():
                     help="device count-table capacity in entries (the "
                          "reference's cuckoo capacity role, "
                          "kmercount.rs:297-307); 0 = size from the file")
+    km.add_argument("--no-spill", action="store_true",
+                    help="disable host spill segments; past-capacity "
+                         "entries drop (largest keys) with a warning, like "
+                         "the reference's capacity-bounded cuckoo.  Default "
+                         "is exact counting at any cardinality via disk "
+                         "spill (count/spill.py)")
     ret = sub.add_parser("ret", help="return times (reserved)")
     ret.add_argument("-b", "--base", type=str, default="A")
     return p
@@ -104,6 +110,9 @@ def main(argv=None):
                                                coords=coords)
         prep = jax.jit(stream.batch_entries,
                        static_argnames=("k", "coords"))
+        spill_store = None
+        if not getattr(args, "no_spill", False):
+            from ..count import spill as spill_mod
         offset = 0
         pending: list = []   # backpressure: bound the async dispatch depth
         for batch, idx in fastx.read_batches_overlapped(
@@ -115,40 +124,86 @@ def main(argv=None):
             table = stream.fold(table, arrs, live)
             offset += len(idx)  # real reads only (batch may be shape-padded)
             pending.append(table.grow_hint)
-            if len(pending) > 2:
-                # host fetch of a scalar from 2 folds ago: bounds the async
-                # dispatch depth (block_until_ready does not block on the
-                # axon backend — a fetch does)
+            if len(pending) > 1:
+                # host fetch of a scalar from the PREVIOUS fold: double
+                # buffering (device runs fold i while we read fold i-1's
+                # hint; block_until_ready does not block on the axon
+                # backend — a fetch does).  Lag 1 keeps the drop-safety
+                # margin: a hint fires with >= 4 batches of post-compact
+                # slack and the worst case consumes 3 (hint fold + lag +
+                # reaction fold) before growth/spill lands
                 hint = int(np.asarray(pending.pop(0)))
-                if hint and capacity < cap_max:
-                    capacity = min(capacity * 8, cap_max)
-                    table = stream.grow(table, capacity)
-        if args.count:
-            bpc = 1 if args.counter_size <= 8 else 2
-            keys, counts, frn, fps, dropped = stream.finalize(
-                table, min_count=2,
-                count_clamp=(1 << (8 * bpc)) - 1)
+                if hint:
+                    if capacity < cap_max:
+                        capacity = min(capacity * 8, cap_max)
+                        table = stream.grow(table, capacity)
+                    elif not getattr(args, "no_spill", False):
+                        # growth ladder topped out: ship the table's
+                        # aggregated runs to a disk segment and restart
+                        # empty — exact at any cardinality (count/spill.py)
+                        if spill_store is None:
+                            spill_store = spill_mod.SpillStore(
+                                wide=k > 16, coords=coords)
+                        table = spill_store.spill_table(table)
+                        pending.clear()
+        bpc = 1 if args.counter_size <= 8 else 2
+        if spill_store is not None and spill_store.n_segments:
+            # spill epochs happened: final table joins them as one more
+            # segment; the k-way merge re-aggregates across epochs in
+            # bounded memory (count/spill.py) — exact at any cardinality
+            spill_store.spill_table(table)
+            dropped = spill_store.n_dropped
+            if args.count:
+                out = args.filename + ".multi_kmer.bin"
+                with formats.MultipleKmerDumpWriter(out, k, bpc) as w:
+                    for mk, mc, _mr, _mp in spill_store.merge_stream():
+                        w.write(mk, mc)
+                print(f"dumped {w.n} multiple kmers to {out} "
+                      f"({spill_store.n_segments} spill segments merged)")
+            else:
+                uk, ur, up = [], [], []
+                for mk, mc, mr, mp in spill_store.merge_stream():
+                    sel = mc == 1
+                    uk.append(mk[sel])
+                    ur.append(mr[sel])
+                    up.append(mp[sel])
+                keys = np.concatenate(uk)
+                frn = np.concatenate(ur)
+                fps = np.concatenate(up)
+                order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
+                                   | fps, kind="stable")  # scan order
+                out = args.filename + ".once_kmer.bin"
+                formats.write_unique_kmer_dump(out, k, keys[order],
+                                               frn[order], fps[order])
+                print(f"dumped {len(keys)} unique kmers to {out} "
+                      f"({spill_store.n_segments} spill segments merged)")
+            spill_store.close()
         else:
-            keys, counts, frn, fps, dropped = stream.finalize(table, 1, 1)
+            if args.count:
+                keys, counts, frn, fps, dropped = stream.finalize(
+                    table, min_count=2,
+                    count_clamp=(1 << (8 * bpc)) - 1)
+            else:
+                keys, counts, frn, fps, dropped = stream.finalize(table, 1, 1)
+            if args.count:
+                # records in ascending canonical-kmer order (reload builds a
+                # map; the reference's own dump order is channel-arbitrary,
+                # kmercount.rs:756-770)
+                out = args.filename + ".multi_kmer.bin"
+                n = formats.write_multiple_kmer_dump(
+                    out, k, keys, counts, bytes_per_count=bpc)
+                print(f"dumped {n} multiple kmers to {out}")
+            else:
+                order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
+                                   | fps, kind="stable")  # scan order
+                out = args.filename + ".once_kmer.bin"
+                formats.write_unique_kmer_dump(out, k, keys[order],
+                                               frn[order], fps[order])
+                print(f"dumped {len(keys)} unique kmers to {out}")
         if dropped:
-            print(f"WARNING: table capacity {capacity} exceeded; "
-                  f"{dropped} entries dropped (raise --capacity)",
+            print(f"WARNING: {dropped} entries dropped past capacity "
+                  f"{capacity} (raise --capacity or drop --no-spill)",
                   file=sys.stderr)
-        if args.count:
-            # records in ascending canonical-kmer order (reload builds a
-            # map; the reference's own dump order is channel-arbitrary,
-            # kmercount.rs:756-770)
-            out = args.filename + ".multi_kmer.bin"
-            n = formats.write_multiple_kmer_dump(
-                out, k, keys, counts, bytes_per_count=bpc)
-            print(f"dumped {n} multiple kmers to {out}")
-        else:
-            order = np.argsort((frn.astype(np.uint64) << np.uint64(32))
-                               | fps, kind="stable")  # scan order
-            out = args.filename + ".once_kmer.bin"
-            formats.write_unique_kmer_dump(out, k, keys[order], frn[order],
-                                           fps[order])
-            print(f"dumped {len(keys)} unique kmers to {out}")
     else:
         for batch, idx in fastx.read_batches(args.filename,
                                              batch_reads=args.batch_reads,

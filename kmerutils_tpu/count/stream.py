@@ -181,9 +181,11 @@ def fold(table: StreamCountTable, batch_arrs, batch_live):
     # compact once occupancy crosses S - 4*BATCH_CAP (small test-sized
     # tables: half capacity).  The 4-batch headroom is deliberate: the
     # growth hint can only be raised AT a compaction, so compacting this
-    # early guarantees a hint fires while a host reacting with a 2-fold
+    # early guarantees a hint fires while a host reacting with a 1-fold
     # fetch lag still has >= 1 batch of slack before any fold could drop
-    # (an all-new-keys stream gains at most BATCH_CAP distinct per fold)
+    # (worst case burns 3 batches: the hint fold's own merge, the lag
+    # fold, and the reaction fold; an all-new-keys stream gains at most
+    # BATCH_CAP distinct per fold)
     headroom = min(4 * BATCH_CAP, S // 2)
     need = table.used + batch_live > S - headroom
     table = jax.lax.cond(need, compact_and_flag,

@@ -92,6 +92,60 @@ def write_multiple_kmer_dump(fname: str, k: int, keys, counts,
     return len(keys)
 
 
+class MultipleKmerDumpWriter:
+    """Streaming variant of :func:`write_multiple_kmer_dump` for record
+    streams too large to materialize (the spill-merge path).  The header's
+    record count is patched on close — the reference's own header count is
+    approximate by design (kmercount.rs:680-693) and readers loop to EOF.
+    """
+
+    def __init__(self, fname: str, k: int, bytes_per_count: int = 1):
+        self.k = k
+        self.kind = _kmer_record_dtype(k)
+        self.bpc = bytes_per_count
+        self.cap = (1 << (8 * bytes_per_count)) - 1
+        self.n = 0
+        self._f = open(fname, "wb")
+        self._f.write(struct.pack("<IBBQ", COUNTER_MULTIPLE, k,
+                                  bytes_per_count, 0))
+
+    def write(self, keys, counts):
+        """Append records (count >= 2 filter + clamp applied here)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        counts = np.asarray(counts, dtype=np.uint64)
+        sel = counts >= 2
+        keys, counts = keys[sel], counts[sel]
+        if len(keys) == 0:
+            return
+        ccl = np.minimum(counts, self.cap)
+        cdt = np.uint8 if self.bpc == 1 else np.uint16
+        if self.kind == "u64_len":
+            rec = np.zeros(len(keys), dtype=[("n", "u1"), ("k", "<u8"),
+                                             ("c", cdt)])
+            rec["n"] = self.k
+            rec["k"] = keys
+        else:
+            rec = np.zeros(len(keys), dtype=[("k", "<u4"), ("c", cdt)])
+            rec["k"] = (keys.astype(np.uint32) | np.uint32(self.k << 28)
+                        if self.kind == "u32_tagged"
+                        else keys.astype(np.uint32))
+        rec["c"] = ccl.astype(cdt)
+        self._f.write(rec.tobytes())
+        self.n += len(keys)
+
+    def close(self) -> int:
+        self._f.seek(6)
+        self._f.write(struct.pack("<Q", self.n))
+        self._f.close()
+        return self.n
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_multiple_kmer_dump(fname: str):
     """Reload a multiple-kmer dump -> (k, dict kmer_value -> count).
 
