@@ -11,9 +11,20 @@ module replaces the fold with the Pallas merge-path kernel
   fold       ->  ONE O(n) hierarchical merge of (table, batch); duplicate
                  keys coexist as separate entries
   compact    ->  when entries approach capacity: ONE fused Pallas pass
-                 (ops/merge_pallas.aggregate_compact_u32) aggregates runs
+                 (ops/merge_pallas.aggregate_fold_i32) aggregates runs
                  in VMEM with an SMEM carry and butterfly-compacts
   finalize   ->  the same pass with the count-range filter, ONE transfer
+
+The table lives in the merge kernel's NATIVE layout between folds (round-2
+redesign): i32 arrays of physical length (n_tiles+2)*T for merge tile
+T = window-2048, key words sign-flipped (Mosaic compares signed), u32 keys
+biased +1 so a single compare word suffices, and only the prefix
+[0, used) meaningful — everything past it is sentinel or garbage that every
+consumer masks by ``used``.  Consequences measured on v5e: a fold is ONE
+partition + ONE kernel launch (no per-fold flip/concat/pack passes over
+capacity-sized arrays), tiles past the live merged length skip their DMA
+and compute entirely (fold cost scales with OCCUPANCY, not capacity), and
+compaction likewise processes only live tiles.
 
 The reference counterpart is the cuckoo+counting-bloom insert loop and its
 threaded drivers (/root/reference/src/base/kmercount.rs:241-267,881-974);
@@ -23,16 +34,18 @@ keys deterministically, counted in ``n_dropped`` (entry granularity: a
 dropped entry may be a duplicate of a surviving key, so the distinct-key
 drop count is <= n_dropped; any surviving largest key may then undercount).
 
-Table entry layout (all uint32 arrays of length S):
-  k <= 16 ("u32 keys"):  (key, cnt[, coord_hi, coord_lo])
-  k 17..32 ("u64 keys"): (key_hi, key_lo, cnt[, coord_hi, coord_lo])
-The merge compares the first 2 words lexicographically.  u64 keys are
-stored BIASED by +1 so no live entry compares equal to all-zeros (the
-merge kernel's alignment fakes sit there); u32 keys need no bias because
-the count word (>= 1) is part of the compare pair.  Dead slots carry
-all-ones in every word.  Within a run of equal keys, entries stay ordered
-by first occurrence only until a merge reorders ties, so aggregation
-computes the run coordinate as a segmented MIN, not the run head.
+Logical entry layout (kernel-native words, ascending by key over [0, used)):
+  k <= 16 ("u32 keys"):  (flip(key+1), cnt[, coord_hi, coord_lo])
+  k 17..32 ("u64 keys"): (flip(hi(key+1)), flip(lo(key+1)), cnt
+                          [, coord_hi, coord_lo])
+where flip(x) = x ^ 0x80000000 reinterpreted as i32.  The +1 bias keeps
+every live compare word off the all-zeros (unsigned) alignment-fake value
+and off the all-ones sentinel — canonical kmer values can be neither
+0xFF..FE nor 0xFF..FF (a kmer ending in C/G/T has a reverse complement
+strictly below 0xC0.., and one ending in A is above its own revcomp's
+first base; either way min(kmer, revcomp) < 0xC0..).  Within a run of
+equal keys entry order is arbitrary after merges, so aggregation computes
+the run coordinate as a segmented MIN, not the run head.
 """
 
 from __future__ import annotations
@@ -46,13 +59,17 @@ import jax.numpy as jnp
 
 from ..base.sequence import ReadBatch
 from ..base import kmer as kmer_mod
-from ..ops.merge_pallas import merge_sorted_u32, aggregate_compact_u32
+from ..ops.merge_pallas import merge_fold_i32, aggregate_fold_i32
 
+I32 = jnp.int32
 U32 = jnp.uint32
 U64 = jnp.uint64
 I64 = jnp.int64
 SENT32 = np.uint32(0xFFFFFFFF)
 SENT64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FLIP = np.uint32(0x80000000)
+_IMAX = np.int32(0x7FFFFFFF)
+_Q = 1024                      # DMA alignment quantum (ops/merge_pallas._Q)
 
 # one batch is capped at 8M padded bases (io/fastx.read_batches); the
 # auto-compact threshold keeps this much headroom so a fold can never
@@ -60,12 +77,25 @@ SENT64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 BATCH_CAP = 9 << 20
 
 
+def _layout(capacity: int, narr: int):
+    """(window P, merge tile T, n_tiles, physical length Lp) for a table.
+
+    The default window is VMEM-budgeted by array count; small (test-sized)
+    tables shrink it so interpret-mode kernels stay fast."""
+    P = 1 << 18 if narr <= 3 else 1 << 17
+    P = min(P, 1 << max(12, (capacity - 1).bit_length()))
+    T = P - 2 * _Q
+    n_tiles = -(-capacity // T)
+    return P, T, n_tiles, (n_tiles + 2) * T
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StreamCountTable:
     """Sorted entry table with pending duplicates (see module docstring).
 
-    arrs:      tuple of uint32 [S] entry words.
+    arrs:      tuple of int32 [Lp] KERNEL-NATIVE entry words; only the
+               prefix [0, used) is meaningful.
     used:      int32 — occupied entries (live rows incl. duplicates).
     n_dropped: int64 — entries dropped past capacity (largest keys first).
     """
@@ -85,33 +115,33 @@ class StreamCountTable:
     # pytree-static config
     wide: bool = dataclasses.field(metadata=dict(static=True), default=False)
     coords: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    cap: int = dataclasses.field(metadata=dict(static=True), default=0)
+    window: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def capacity(self) -> int:
-        return self.arrs[0].shape[0]
+        return self.cap
 
     @staticmethod
     def create(capacity: int, wide: bool, coords: bool) -> "StreamCountTable":
         narr = (3 if wide else 2) + (2 if coords else 0)
+        window, _, _, lp = _layout(capacity, narr)
         return StreamCountTable(
-            arrs=tuple(jnp.full(capacity, SENT32, U32) for _ in range(narr)),
+            arrs=tuple(jnp.full(lp, _IMAX, I32) for _ in range(narr)),
             used=jnp.zeros((), jnp.int32),
             n_dropped=jnp.zeros((), I64),
             grow_hint=jnp.zeros((), jnp.int32),
-            wide=wide, coords=coords)
-
-
-def _window(narr: int) -> int:
-    # VMEM budget: 2*narr scratch + narr out blocks of window i32 words
-    return 1 << 18 if narr <= 3 else 1 << 17
+            wide=wide, coords=coords, cap=capacity, window=window)
 
 
 def batch_entries(batch: ReadBatch, k: int, read_num_offset,
                   coords: bool = False):
     """One batch's raw sorted entries for :func:`fold`.
 
-    Returns (arrs, n_live): uint32 arrays [n*p] in table layout, sorted,
-    one entry per valid kmer position (count 1 each; u64 keys biased +1).
+    Returns (arrs, n_live): uint32 arrays [n*p] in RAW entry order —
+    (key[, cnt, coord_hi, coord_lo]) for u32 keys, split (hi, lo) for u64 —
+    sorted ascending, one entry per valid kmer position (count 1 each; u64
+    keys biased +1, u32 bias is applied inside fold's layout conversion).
     read_num_offset may be a traced scalar.
     """
     can, valid, _ = kmer_mod.canonical_kmers(batch, k)
@@ -143,32 +173,52 @@ def batch_entries(batch: ReadBatch, k: int, read_num_offset,
     return arrs, live.sum().astype(jnp.int32)
 
 
-def _compact(table: StreamCountTable) -> StreamCountTable:
-    outs, n_live = aggregate_compact_u32(
-        table.arrs, kw=2 if table.wide else 1, coords=table.coords)
-    return StreamCountTable(arrs=tuple(outs), used=n_live,
-                            n_dropped=table.n_dropped,
-                            wide=table.wide, coords=table.coords)
+def _batch_to_kernel(batch_arrs, wide: bool, window: int):
+    """RAW sorted batch entries -> the fold kernel's b-side form: compare
+    words +1-biased (u32) and sign-flipped, padded to a _Q multiple plus
+    one window of trailing sentinels, then REVERSED (Mosaic has no
+    in-kernel rev; the kernel slices descending windows from the back)."""
+    ncmp = 2 if wide else 1
+    nb = batch_arrs[0].shape[0]
+    nb_p = -(-nb // _Q) * _Q
+    outs = []
+    for j, x in enumerate(batch_arrs):
+        x = jnp.asarray(x, U32)
+        if not wide and j == 0:
+            x = x + (x != SENT32).astype(U32)        # +1 bias, sentinel fixed
+        x = jnp.concatenate([x, jnp.full((nb_p + window - nb,), SENT32, U32)])
+        if j < ncmp:
+            x = x ^ _FLIP
+        outs.append(jax.lax.bitcast_convert_type(x, I32)[::-1])
+    return tuple(outs)
+
+
+def _compact(table: StreamCountTable, lo: int = 1,
+             hi: int | None = None) -> StreamCountTable:
+    outs, n_live = aggregate_fold_i32(
+        table.arrs, table.used, kw=2 if table.wide else 1,
+        coords=table.coords, capacity=table.cap, window=table.window,
+        lo=lo, hi=hi)
+    return dataclasses.replace(table, arrs=tuple(outs), used=n_live)
 
 
 @jax.jit
 def fold(table: StreamCountTable, batch_arrs, batch_live):
-    """Merge one batch's sorted entries into the table (one Pallas merge);
-    auto-compacts on device when occupancy approaches capacity, so a
-    stream of folds never needs host synchronization."""
-    S = table.capacity
+    """Merge one batch's RAW sorted entries into the table (one Pallas
+    merge); auto-compacts on device when occupancy approaches capacity, so
+    a stream of folds never needs host synchronization."""
+    S = table.cap
+    ncmp = 2 if table.wide else 1
+    b_in = _batch_to_kernel(batch_arrs, table.wide, table.window)
 
     def do_fold(t):
-        merged = merge_sorted_u32(t.arrs, batch_arrs, ncmp=2,
-                                  window=_window(len(t.arrs)))
-        arrs = tuple(m[:S] for m in merged)
+        merged = merge_fold_i32(t.arrs, b_in, t.used, batch_live,
+                                ncmp=ncmp, capacity=S, window=t.window)
         used = t.used + batch_live
         dropped = jnp.maximum(used - S, 0).astype(I64)
-        return StreamCountTable(arrs=arrs,
-                                used=jnp.minimum(used, S),
-                                n_dropped=t.n_dropped + dropped,
-                                grow_hint=t.grow_hint,
-                                wide=t.wide, coords=t.coords)
+        return dataclasses.replace(t, arrs=tuple(merged),
+                                   used=jnp.minimum(used, S),
+                                   n_dropped=t.n_dropped + dropped)
 
     def compact_and_flag(t):
         t = _compact(t)
@@ -200,21 +250,23 @@ def compact(table: StreamCountTable) -> StreamCountTable:
 
 
 def grow(table: StreamCountTable, new_capacity: int) -> StreamCountTable:
-    """Grow the table's capacity in place: live entries are a sorted prefix
-    (merges keep sentinels at the tail), so growth is ONE sentinel-pad
-    concatenation — no re-sort, no merge.  The cuckoo-resize role of the
+    """Grow the table's capacity in place: live entries are a contiguous
+    prefix, so growth is ONE sentinel-pad concatenation keeping the same
+    merge window — no re-sort, no merge.  The cuckoo-resize role of the
     reference's capacity bound (kmercount.rs:297-307), but cheap enough to
     run mid-stream: callers start small and grow x8 only when occupancy
     stays high after compaction (see cli/parsefastq)."""
-    S = table.capacity
-    if new_capacity <= S:
+    if new_capacity <= table.cap:
         return table
-    pad = new_capacity - S
-    return StreamCountTable(
-        arrs=tuple(jnp.concatenate([a, jnp.full((pad,), SENT32, U32)])
+    T = table.window - 2 * _Q
+    n_tiles = -(-new_capacity // T)
+    lp = (n_tiles + 2) * T
+    pad = lp - table.arrs[0].shape[0]
+    return dataclasses.replace(
+        table,
+        arrs=tuple(jnp.concatenate([a, jnp.full((pad,), _IMAX, I32)])
                    for a in table.arrs),
-        used=table.used, n_dropped=table.n_dropped,
-        wide=table.wide, coords=table.coords)
+        cap=new_capacity)
 
 
 def finalize(table: StreamCountTable, min_count: int = 1,
@@ -228,30 +280,35 @@ def finalize(table: StreamCountTable, min_count: int = 1,
     formats saturate anyway (kmercount.rs counter_size), and the
     device->host link is the finalize bottleneck.
     """
+    kw = 2 if table.wide else 1
+
     @functools.partial(jax.jit, static_argnames=("lo", "hi", "clamp"))
     def run(t, lo, hi, clamp):
         # ONE fused aggregate+filter+compact pass (ops/merge_pallas.py)
-        outs, n = aggregate_compact_u32(
-            t.arrs, kw=2 if t.wide else 1, coords=t.coords, lo=lo, hi=hi)
+        outs, n = aggregate_fold_i32(
+            t.arrs, t.used, kw=kw, coords=t.coords, capacity=t.cap,
+            window=t.window, lo=lo, hi=hi)
         if clamp is not None:
-            kw_ = 2 if t.wide else 1
             dt = jnp.uint8 if clamp <= 0xFF else jnp.uint16
-            cc = jnp.minimum(outs[kw_], U32(clamp)).astype(dt)
-            outs = outs[:kw_] + (cc,) + outs[kw_ + 1:]
+            cu = jax.lax.bitcast_convert_type(outs[kw], U32)
+            cc = jnp.minimum(cu, U32(clamp)).astype(dt)
+            outs = outs[:kw] + (cc,) + outs[kw + 1:]
         return outs, n, t.n_dropped
 
     outs, n, dropped = run(table, min_count, max_count, count_clamp)
     n = int(n)
     host = [np.asarray(o[:n]) for o in outs]
-    kw = 2 if table.wide else 1
+    unflip = [(h.view(np.uint32) ^ np.uint32(0x80000000))
+              for h in host[:kw]]
     if table.wide:
-        keys = ((host[0].astype(np.uint64) << np.uint64(32))
-                | host[1]) - np.uint64(1)        # un-bias
+        keys = ((unflip[0].astype(np.uint64) << np.uint64(32))
+                | unflip[1]) - np.uint64(1)          # un-bias
     else:
-        keys = host[0]
-    counts = host[kw]
+        keys = unflip[0] - np.uint32(1)              # un-bias
+    counts = host[kw] if count_clamp is not None else host[kw].view(np.uint32)
     if table.coords:
-        rn, ps = host[kw + 1], host[kw + 2]
+        rn = host[kw + 1].view(np.uint32)
+        ps = host[kw + 2].view(np.uint32)
     else:
         rn = np.zeros(n, np.uint32)
         ps = np.zeros(n, np.uint32)

@@ -296,6 +296,177 @@ def merge_sorted_u32(a_arrs, b_arrs, ncmp: int = 1, window: int = 1 << 18):
                  for j, o in enumerate(outs))
 
 
+# ---------------------------------------------------------------------------
+# persistent-layout fold merge (count/stream.py's hot path)
+# ---------------------------------------------------------------------------
+
+def merge_path_partition_dyn(a_arrs, b_arrs, na, nb: int, d, iters: int):
+    """Merge-path split points at output boundaries ``d`` with a TRACED
+    a-side length ``na`` (live prefix of a persistent table — positions
+    >= na may hold garbage and are never sampled).  Compares the first
+    1 or 2 i32 words lexicographically (signed domain = flipped unsigned),
+    gathering words directly instead of packing u64 keys (saves a full
+    O(na) pack pass per fold)."""
+    ncmp = len(a_arrs)
+    lo = jnp.maximum(d - I32(nb), 0)
+    hi = jnp.minimum(d, na)
+
+    def take(arr, idx, n):
+        return jnp.take(arr, jnp.clip(idx, 0, n - 1), mode="clip")
+
+    for _ in range(iters):
+        mid = (lo + hi + I32(1)) >> 1
+        # P(mid) = "mid elements of A may precede": a[mid-1] <= b[d-mid]
+        a0 = take(a_arrs[0], mid - 1, na)
+        b0 = take(b_arrs[0], d - mid, nb)
+        if ncmp == 1:
+            le = a0 <= b0
+        else:
+            a1 = take(a_arrs[1], mid - 1, na)
+            b1 = take(b_arrs[1], d - mid, nb)
+            le = (a0 < b0) | ((a0 == b0) & (a1 <= b1))
+        ok = (mid <= lo) | (d - mid >= nb) | le
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid - 1)
+    return lo
+
+
+def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
+    """Fold-merge tile: identical merge math to :func:`_merge_kernel`, plus
+    (a) inputs/outputs already in the persistent flipped-i32 layout and
+    (b) a dead-tile fast path — tiles whose output range starts at or past
+    the live merged length (scal_ref[n_tiles+1]) write a sentinel block
+    without issuing input DMAs or running the merge network."""
+    T = P - 2 * _Q
+    R = P // 128
+    a_refs = refs[:narr]
+    b_refs = refs[narr : 2 * narr]
+    out_refs = refs[2 * narr : 3 * narr]
+    scr = refs[3 * narr : 5 * narr]
+    sems = refs[5 * narr]
+    t = pl.program_id(0)
+    d0 = t * I32(T)
+    end = scal_ref[pl.num_programs(0) + 1]      # used + batch_live
+
+    @pl.when(d0 >= end)
+    def _dead():
+        sent = jnp.full((T // 128, 128), _IMAX)
+        for j in range(narr):
+            out_refs[j][:] = sent.reshape(T)
+
+    @pl.when(d0 < end)
+    def _live():
+        x0 = scal_ref[t]
+        x1 = scal_ref[t + 1]
+        y0 = d0 - x0
+        y1_ = d0 + I32(T) - x1
+        xq = (x0 >> I32(10)) << I32(10)
+        yq = (y0 >> I32(10)) << I32(10)
+        a_off = pl.multiple_of(xq, _Q)
+        b_off = pl.multiple_of(I32(nb_p) - yq, _Q)
+
+        copies = []
+        for j in range(narr):
+            c = pltpu.make_async_copy(a_refs[j].at[pl.ds(a_off, P)], scr[j],
+                                      sems.at[j])
+            c.start()
+            copies.append(c)
+            c = pltpu.make_async_copy(b_refs[j].at[pl.ds(b_off, P)],
+                                      scr[narr + j], sems.at[narr + j])
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+
+        row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+        flat = row * I32(128) + col
+        av = [scr[j][:].reshape(R, 128) for j in range(narr)]
+        bf = [scr[narr + j][:].reshape(R, 128) for j in range(narr)]
+        ka0, ka1 = x0 - xq, x1 - xq
+        kb0, kb1 = y0 - yq, y1_ - yq
+        for j in range(ncmp):
+            av[j] = jnp.where(flat < ka0, _IMIN,
+                              jnp.where(flat >= ka1, _IMAX, av[j]))
+            bf[j] = jnp.where(flat < I32(P) - kb1, _IMAX,
+                              jnp.where(flat >= I32(P) - kb0, _IMIN, bf[j]))
+        take_b = _cmp_lt(av, bf, ncmp)
+        low = [jnp.where(take_b, b, a) for a, b in zip(av, bf)]
+        merged = _bitonic_stages(low, ncmp, R)
+        nf = ka0 + kb0
+        for j in range(narr):
+            rot = _rotate_flat(merged[j], nf, R)
+            out_refs[j][:] = rot[: T // 128, :].reshape(T)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ncmp", "capacity", "window"))
+def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
+                   capacity: int, window: int = 1 << 17):
+    """Fold sorted batch entries into a persistent-layout table.
+
+    a_arrs: i32 arrays of physical length >= n_tiles*T + window, holding the
+      table in KERNEL-NATIVE form: the first ``ncmp`` arrays are sign-flipped
+      compare words ascending over the live prefix [0, used); everything at
+      or past ``used`` is unread garbage (masked by the partition clip).
+    b_arrs: i32 arrays of physical length nb_p + window, REVERSED, flipped
+      compare words, front-padded with _IMAX sentinels (see
+      count/stream.py's _prep_batch).
+    used, batch_live: traced scalars — live prefix lengths of each side.
+
+    Returns i32 arrays of the same physical shape as a_arrs: positions
+    [0, min(used+batch_live, capacity)) hold the merged live entries,
+    positions up to n_tiles*T hold _IMAX sentinels in compare words, and the
+    slop tail is unspecified.  Merged entries past ``capacity`` (the largest
+    keys) land in the overhang/garbage region — the caller accounts drops
+    as max(used + batch_live - capacity, 0).
+
+    CONSTRAINT: no live entry's flipped compare words may equal _IMIN
+    (all-zeros unsigned) — callers bias keys by +1 before flipping.
+    """
+    narr = len(a_arrs)
+    assert len(b_arrs) == narr and 1 <= ncmp <= 2
+    P = window
+    T = P - 2 * _Q
+    n_tiles = -(-capacity // T)
+    Lp = (n_tiles + 2) * T
+    assert 2 * T >= P and a_arrs[0].shape[0] == Lp
+    nb_p = b_arrs[0].shape[0] - P
+    used = jnp.asarray(used, I32)
+    end_total = jnp.minimum(used + jnp.asarray(batch_live, I32),
+                            I32(n_tiles * T))
+    # output-boundary diagonals, clamped so boundaries past the live merged
+    # length stay consistent (tiles there are skipped / emit sentinels)
+    d = jnp.minimum(jnp.arange(n_tiles + 1, dtype=I32) * I32(T),
+                    used + I32(nb_p))
+    a_starts = merge_path_partition_dyn(
+        a_arrs[:ncmp], [b[::-1] for b in b_arrs[:ncmp]], used, nb_p, d,
+        iters=max(int(capacity).bit_length(), 1))
+    scal = jnp.concatenate([a_starts, end_total[None]])
+
+    kern = functools.partial(_merge_fold_kernel, narr=narr, ncmp=ncmp, P=P,
+                             nb_p=nb_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * narr),
+        out_specs=[pl.BlockSpec((T,), lambda i, s: (i,),
+                                memory_space=pltpu.VMEM)] * narr,
+        scratch_shapes=[pltpu.VMEM((P,), I32)] * (2 * narr)
+        + [pltpu.SemaphoreType.DMA((2 * narr,))],
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((Lp,), I32)] * narr,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(scal, *a_arrs, *b_arrs)
+    return tuple(outs)
+
+
 def _flat_shift_right(x, s: int, fill, R):
     """out[i] = x[i - s] for static s >= 1 (row-major flat order), filling
     the first s positions."""
@@ -367,51 +538,26 @@ def _butterfly_concentrate(arrs, live_i32, dest, flat, row, col, R, T):
 # fused aggregation + filter + compaction (one pass, SMEM run carry)
 # ---------------------------------------------------------------------------
 
-def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
-    """Aggregate duplicate-key runs (sum counts saturating, min coords),
-    filter by count range, and compact — in ONE pass over the table.
+def _agg_tile_compute(a, live, carry, *, narr, kw, T, lo, hi, coords, nokey,
+                      flat, row, col, R):
+    """The pure-compute core of one aggregation tile, shared by the raw
+    (:func:`_aggcompact_kernel`) and persistent (:func:`_aggfold_kernel`)
+    kernels: run detection against the SMEM carry, segmented scans (counts
+    saturating-sum, coords lexicographic min), end detection, count-range
+    filter, emit ranking, and butterfly concentration.
 
-    The XLA formulation needs ~log2(n) full HBM passes per 64-bit scan
-    chain (measured ~0.5 s at 2^26 with coords); here every scan runs in
-    VMEM per tile and runs crossing tile boundaries ride an SMEM carry
-    (the grid is sequential).  A run is emitted by the tile containing its
-    END; a run carried past a tile whose first key no longer matches is
-    emitted as one extra leading entry of that tile.
-
-    Entry layout: kw key words, count word, then 2 coord words if coords.
-    Input must be sorted by key with all dead (all-ones) entries in a
-    trailing block, padded with >= 1 dead tile so the final run flushes.
+    Returns (vals, e_i32, cnt, chi_clo, new_run, tile_emits, c_emit,
+    carry_from_last) — the caller stages vals into the output and updates
+    the SMEM carry.  ``nokey`` is a fill that matches no LIVE entry's first
+    key word (word-0 inequality is what breaks eq_prev).
     """
-    R = T // 128
-    in_refs = refs[:narr]
-    out_refs = refs[narr : 2 * narr]
-    nlive_ref = refs[2 * narr]
-    scr = refs[2 * narr + 1 : 3 * narr + 1]      # (2T,) write staging
-    rb = refs[3 * narr + 1 : 4 * narr + 1]       # (_Q,) readback
-    carry = refs[4 * narr + 1]                   # SMEM: narr vals + off + live
-    sems = refs[4 * narr + 2]
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _init():
-        for j in range(narr):
-            carry[j] = I32(-1)
-        carry[narr] = I32(0)          # out_off
-        carry[narr + 1] = I32(0)      # carry_live
-
-    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
-    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
-    flat = row * I32(128) + col
-    a = [r[:].reshape(R, 128) for r in in_refs]
-    live = a[0] != I32(-1)
-
     c_live = carry[narr + 1] != 0
     # previous-element key (element 0 sees the carry key)
     eq_prev = jnp.ones((R, 128), bool)
     for w in range(kw):
-        pk = _flat_shift_right(a[w], 1, I32(-2), R)     # -2: matches nothing
+        pk = _flat_shift_right(a[w], 1, nokey, R)
         pk = jnp.where(flat == 0,
-                       jnp.where(c_live, carry[w], I32(-2)), pk)
+                       jnp.where(c_live, carry[w], nokey), pk)
         eq_prev = eq_prev & (a[w] == pk)
     new_run = live & ~eq_prev
     f = new_run.astype(I32)
@@ -421,7 +567,7 @@ def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
     # (scalar via masked reduction — Mosaic dislikes vector element extracts)
     at0 = flat == 0
     inject = c_live & (_scalar_sum_i32(
-        jnp.where(at0 & eq_prev, I32(1), I32(0))) > 0)
+        jnp.where(at0 & eq_prev & live, I32(1), I32(0))) > 0)
     cnt = jnp.where(at0 & inject, _sat_add_u32(cnt, carry[kw]), cnt)
     if coords:
         chi = jnp.where(live, a[kw + 1], I32(-1))
@@ -448,8 +594,8 @@ def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
         s *= 2
 
     # run ends: next element starts a new run or is dead; the LAST element
-    # is never an end here (its run goes to the carry — the input's dead-
-    # tile padding guarantees every real run ends before the final tile)
+    # is never an end here (its run goes to the carry — the input's dead
+    # padding guarantees every real run ends before the final tile)
     nxt_new = _flat_shift_left(new_run.astype(I32), 1, I32(0), R) != 0
     nxt_live = _flat_shift_left(live.astype(I32), 1, I32(1), R) != 0
     is_end = live & (nxt_new | ~nxt_live) & (flat != I32(T - 1))
@@ -491,8 +637,16 @@ def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
 
     dest = jnp.where(e, rank, flat)
     vals = _butterfly_concentrate(vals, e_i32, dest, flat, row, col, R, T)
+    chi_clo = (chi, clo) if coords else None
+    return (vals, cnt, chi_clo, tile_emits, c_emit, carry_from_last)
 
-    # aligned 2T write window: [prev partial block | carry entry? | emits]
+
+def _agg_staged_append(out_refs, scr, rb, sems, carry, vals, c_emit, *,
+                       narr, T, R):
+    """Append ``c_emit`` carry entry + the concentrated ``vals`` emits to
+    the outputs at running offset carry[narr], via an aligned 2T write
+    window whose leading partial block is read back first (the sequential
+    grid + in-kernel waits order the DMAs).  Returns the emit offset."""
     off = carry[narr]
     base = pl.multiple_of((off >> I32(10)) << I32(10), _Q)
     gap = off & I32(_Q - 1)
@@ -529,8 +683,13 @@ def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
         copies.append(c)
     for c in copies:
         c.wait()
+    return off
 
-    # SMEM updates for the next tile
+
+def _agg_update_carry(carry, nlive_ref, a, cnt, chi_clo, vals_off, tile_emits,
+                      c_emit, carry_from_last, flat, *, narr, kw, T, coords):
+    """SMEM carry + live-count updates for the next tile (shared tail of
+    both aggregation kernels)."""
     def lastv(x):
         return _scalar_sum_i32(jnp.where(flat == I32(T - 1), x, 0))
 
@@ -540,11 +699,60 @@ def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
         carry[w] = jnp.where(new_c_live > 0, lastv(a[w]), I32(-1))
     carry[kw] = jnp.where(new_c_live > 0, lastv(cnt), I32(-1))
     if coords:
-        carry[kw + 1] = jnp.where(new_c_live > 0, lastv(chi), I32(-1))
-        carry[kw + 2] = jnp.where(new_c_live > 0, lastv(clo), I32(-1))
-    carry[narr] = off + tile_emits + c_emit
+        carry[kw + 1] = jnp.where(new_c_live > 0, lastv(chi_clo[0]), I32(-1))
+        carry[kw + 2] = jnp.where(new_c_live > 0, lastv(chi_clo[1]), I32(-1))
+    carry[narr] = vals_off + tile_emits + c_emit
     carry[narr + 1] = new_c_live
-    nlive_ref[0] = off + tile_emits + c_emit
+    nlive_ref[0] = vals_off + tile_emits + c_emit
+
+
+def _aggcompact_kernel(*refs, narr, kw, T, lo, hi, coords):
+    """Aggregate duplicate-key runs (sum counts saturating, min coords),
+    filter by count range, and compact — in ONE pass over the table.
+
+    The XLA formulation needs ~log2(n) full HBM passes per 64-bit scan
+    chain (measured ~0.5 s at 2^26 with coords); here every scan runs in
+    VMEM per tile and runs crossing tile boundaries ride an SMEM carry
+    (the grid is sequential).  A run is emitted by the tile containing its
+    END; a run carried past a tile whose first key no longer matches is
+    emitted as one extra leading entry of that tile.
+
+    Entry layout: kw key words, count word, then 2 coord words if coords.
+    Input must be sorted by key with all dead (all-ones) entries in a
+    trailing block, padded with >= 1 dead tile so the final run flushes.
+    """
+    R = T // 128
+    in_refs = refs[:narr]
+    out_refs = refs[narr : 2 * narr]
+    nlive_ref = refs[2 * narr]
+    scr = refs[2 * narr + 1 : 3 * narr + 1]      # (2T,) write staging
+    rb = refs[3 * narr + 1 : 4 * narr + 1]       # (_Q,) readback
+    carry = refs[4 * narr + 1]                   # SMEM: narr vals + off + live
+    sems = refs[4 * narr + 2]
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        for j in range(narr):
+            carry[j] = I32(-1)
+        carry[narr] = I32(0)          # out_off
+        carry[narr + 1] = I32(0)      # carry_live
+
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    flat = row * I32(128) + col
+    a = [r[:].reshape(R, 128) for r in in_refs]
+    live = a[0] != I32(-1)
+
+    (vals, cnt, chi_clo, tile_emits, c_emit,
+     carry_from_last) = _agg_tile_compute(
+        a, live, carry, narr=narr, kw=kw, T=T, lo=lo, hi=hi, coords=coords,
+        nokey=I32(-2), flat=flat, row=row, col=col, R=R)
+    off = _agg_staged_append(out_refs, scr, rb, sems, carry, vals, c_emit,
+                             narr=narr, T=T, R=R)
+    _agg_update_carry(carry, nlive_ref, a, cnt, chi_clo, off, tile_emits,
+                      c_emit, carry_from_last, flat,
+                      narr=narr, kw=kw, T=T, coords=coords)
 
 
 @functools.partial(jax.jit,
@@ -606,6 +814,128 @@ def aggregate_compact_u32(arrs, kw: int = 1, coords: bool = False,
                           jax.lax.bitcast_convert_type(o[:m], U32), SENT32)
                 for o in outs[:narr])
     return res, n_live
+
+
+def _aggfold_kernel(scal_ref, *refs, narr, kw, T, lo, hi, coords):
+    """Persistent-layout twin of :func:`_aggcompact_kernel` for the
+    streaming table's kernel-native form (count/stream.py):
+
+    - inputs/outputs are sign-flipped i32 (sentinel = _IMAX) in HBM; input
+      tiles are DMAed manually because the physical length (a multiple of
+      the MERGE tile) is not a multiple of this kernel's tile,
+    - liveness is POSITIONAL: entries [0, used) are live (a fold's merged
+      prefix is contiguous), everything after is sentinel/garbage and never
+      read as data,
+    - tiles wholly past ``used`` with no pending carry are skipped — no
+      DMA, no scans — so compaction costs O(used), not O(capacity).
+    """
+    R = T // 128
+    in_refs = refs[:narr]
+    out_refs = refs[narr : 2 * narr]
+    nlive_ref = refs[2 * narr]
+    scr = refs[2 * narr + 1 : 3 * narr + 1]      # (2T,) write staging
+    rb = refs[3 * narr + 1 : 4 * narr + 1]       # (_Q,) readback
+    rd = refs[4 * narr + 1 : 5 * narr + 1]       # (T,) input read scratch
+    carry = refs[5 * narr + 1]                   # SMEM: narr vals + off + live
+    sems = refs[5 * narr + 2]
+    t = pl.program_id(0)
+    used_end = scal_ref[0]
+    d0 = t * I32(T)
+
+    @pl.when(t == 0)
+    def _init():
+        for j in range(narr):
+            carry[j] = I32(-1)
+        carry[narr] = I32(0)          # out_off
+        carry[narr + 1] = I32(0)      # carry_live
+        nlive_ref[0] = I32(0)         # empty-table result if every tile skips
+
+    @pl.when((d0 < used_end) | (carry[narr + 1] != 0))
+    def _active():
+        cps = []
+        in_off = pl.multiple_of(d0, _Q)
+        for j in range(narr):
+            c = pltpu.make_async_copy(in_refs[j].at[pl.ds(in_off, T)], rd[j],
+                                      sems.at[2 * narr + j])
+            c.start()
+            cps.append(c)
+        for c in cps:
+            c.wait()
+
+        row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+        col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+        flat = row * I32(128) + col
+        a = [rd[j][:].reshape(R, 128) for j in range(narr)]
+        live = (flat + d0) < used_end
+
+        # nokey = _IMAX: live entries' first key word never takes the
+        # sentinel pattern (canonical kmers are biased +1 and < all-ones —
+        # see count/stream.py's layout contract)
+        (vals, cnt, chi_clo, tile_emits, c_emit,
+         carry_from_last) = _agg_tile_compute(
+            a, live, carry, narr=narr, kw=kw, T=T, lo=lo, hi=hi,
+            coords=coords, nokey=_IMAX, flat=flat, row=row, col=col, R=R)
+        off = _agg_staged_append(out_refs, scr, rb, sems, carry, vals,
+                                 c_emit, narr=narr, T=T, R=R)
+        _agg_update_carry(carry, nlive_ref, a, cnt, chi_clo, off, tile_emits,
+                          c_emit, carry_from_last, flat,
+                          narr=narr, kw=kw, T=T, coords=coords)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kw", "coords", "lo", "hi", "capacity",
+                                    "window", "tile"))
+def aggregate_fold_i32(arrs, used, *, kw: int, coords: bool,
+                       capacity: int, window: int,
+                       lo: int = 1, hi: int | None = None,
+                       tile: int = 1 << 15):
+    """One-pass aggregate+filter+compact of a persistent-layout table
+    (the kernel-native form produced by :func:`merge_fold_i32`; see
+    count/stream.py).  arrs are i32, physical length (n_tiles+2)*T_merge
+    with live entries in [0, used); returns (arrs', n_live) in the SAME
+    physical layout — positions >= n_live are unspecified (downstream
+    consumers mask by the live length, so no O(capacity) sentinel-fill
+    epilogue is paid)."""
+    narr = len(arrs)
+    assert narr == kw + 1 + (2 if coords else 0)
+    Tm = window - 2 * _Q
+    n_tiles_m = -(-capacity // Tm)
+    Lp = (n_tiles_m + 2) * Tm
+    assert arrs[0].shape[0] == Lp and arrs[0].dtype == jnp.int32
+    s_phys = n_tiles_m * Tm
+    # tile must be a pow2 multiple of _Q no larger than the merge tile
+    # (so manual reads [t*T, t*T+T) stay within Lp even for the +1 flush
+    # tile: s_phys + 2*T <= s_phys + 2*Tm <= Lp)
+    T = min(tile, 1 << (Tm.bit_length() - 1))
+    assert T >= _Q and T & (T - 1) == 0
+    n_tiles = -(-s_phys // T) + 1
+    used = jnp.asarray(used, I32)
+
+    kern = functools.partial(_aggfold_kernel, narr=narr, kw=kw, T=T,
+                             lo=lo, hi=hi, coords=coords)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[pltpu.VMEM((2 * T,), I32)] * narr
+        + [pltpu.VMEM((_Q,), I32)] * narr
+        + [pltpu.VMEM((T,), I32)] * narr
+        + [pltpu.SMEM((narr + 2,), I32)]
+        + [pltpu.SemaphoreType.DMA((3 * narr,))],
+    )
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((Lp,), I32)] * narr
+            + [jax.ShapeDtypeStruct((1,), I32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(used[None], *arrs)
+    return tuple(outs[:narr]), outs[narr][0]
 
 
 # ---------------------------------------------------------------------------

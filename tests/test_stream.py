@@ -106,6 +106,151 @@ def test_compact_live_u32(m, narr, tile, frac):
         assert np.all(o[n_live:m] == 0xFFFFFFFF)
 
 
+def _to_persistent(arrs_u32, ncmp, capacity, window):
+    """Raw sorted u32 entry arrays -> the kernel-native persistent table
+    form (count/stream.py layout): flipped cmp words, physical length
+    (n_tiles+2)*T, garbage-free sentinel tail."""
+    T = window - 2048
+    n_tiles = -(-capacity // T)
+    lp = (n_tiles + 2) * T
+    out = []
+    for j, x in enumerate(arrs_u32):
+        full = np.full(lp, 0xFFFFFFFF, np.uint32)
+        full[:len(x)] = x
+        if j < ncmp:
+            full ^= np.uint32(0x80000000)
+        out.append(jnp.asarray(full.view(np.int32)))
+    return tuple(out)
+
+
+def _to_batch_kernel(arrs_u32, ncmp, window, nb_total=None):
+    """Raw sorted u32 batch arrays -> the fold kernel's b-side form:
+    flipped cmp words, padded to a 1024-multiple plus one window of
+    sentinels, reversed."""
+    nb = nb_total if nb_total is not None else len(arrs_u32[0])
+    nb_p = -(-nb // 1024) * 1024
+    out = []
+    for j, x in enumerate(arrs_u32):
+        full = np.full(nb_p + window, 0xFFFFFFFF, np.uint32)
+        full[:len(x)] = x
+        if j < ncmp:
+            full ^= np.uint32(0x80000000)
+        out.append(jnp.asarray(full[::-1].copy().view(np.int32)))
+    return tuple(out)
+
+
+@pytest.mark.parametrize("used,nb,ncmp,narr,capacity,window", [
+    (1000, 777, 1, 2, 5000, 4096),
+    (5000, 3000, 2, 3, 6000, 4096),
+    (300, 2000, 1, 4, 4000, 4096),
+    (900, 800, 1, 2, 1024, 4096),      # past capacity (overhang region)
+    (0, 500, 2, 5, 4000, 4096),        # empty table
+    (1200, 0, 1, 2, 4000, 4096),       # empty batch
+])
+def test_merge_fold_i32(used, nb, ncmp, narr, capacity, window):
+    # keys in [1, 2^32-16): off the all-zeros fake and all-ones sentinel
+    A = _rand_sorted(used, ncmp, narr, max_key=2**32 - 16) if used else \
+        [np.zeros(0, np.uint32)] * narr
+    B = _rand_sorted(nb, ncmp, narr, max_key=2**32 - 16) if nb else \
+        [np.zeros(0, np.uint32)] * narr
+    a_in = _to_persistent(A, ncmp, capacity, window)
+    b_in = _to_batch_kernel(B, ncmp, window)
+    outs = mp.merge_fold_i32(a_in, b_in, used, nb, ncmp=ncmp,
+                             capacity=capacity, window=window)
+
+    def packkey(arrs):
+        p = arrs[0].astype(np.uint64)
+        if ncmp == 2:
+            p = (p << np.uint64(32)) | arrs[1]
+        return p
+
+    order = np.argsort(np.concatenate([packkey(A), packkey(B)]),
+                       kind="stable")
+    T = window - 2048
+    n_tiles = -(-capacity // T)
+    valid = min(used + nb, n_tiles * T)       # kernel-guaranteed prefix
+    for j in range(narr):
+        got = np.asarray(outs[j])[:valid].view(np.uint32)
+        if j < ncmp:
+            got = got ^ np.uint32(0x80000000)
+            exp = np.concatenate([A[j], B[j]])[order][:valid]
+            assert np.array_equal(exp, got)
+        else:
+            exp = np.concatenate([A[j], B[j]])[order][:valid]
+            assert np.array_equal(np.sort(exp), np.sort(got))
+    # sentinel fill between the live prefix and the physical tile end
+    key0 = np.asarray(outs[0])[:n_tiles * T]
+    assert np.all(key0[valid:] == 0x7FFFFFFF)
+
+
+@pytest.mark.parametrize("n,kw,coords,lo,hi,tile,capacity,window", [
+    (3000, 1, False, 1, None, 1024, 4000, 4096),
+    (3000, 1, True, 1, None, 1024, 4000, 4096),
+    (5000, 2, True, 2, 5, 1024, 6000, 4096),
+    (0, 1, False, 1, None, 1024, 4000, 4096),
+    (4096, 1, False, 1, None, 2048, 4096, 4096),   # used == s_phys edge
+])
+def test_aggregate_fold_i32(n, kw, coords, lo, hi, tile, capacity, window):
+    narr = kw + 1 + (2 if coords else 0)
+    # duplicate-heavy sorted keys; counts near saturation sometimes
+    key = np.sort(RNG.integers(1, max(n // 4, 2), n).astype(np.uint32))
+    arrs = [key]
+    if kw == 2:
+        arrs = [key, RNG.integers(0, 3, n).astype(np.uint32)]
+        order = np.argsort((arrs[0].astype(np.uint64) << np.uint64(32))
+                           | arrs[1], kind="stable")
+        arrs = [a[order] for a in arrs]
+    cnt = RNG.integers(1, 10, n).astype(np.uint32)
+    cnt[RNG.random(n) < 0.01] = 0xFFFFFFF0          # saturation cases
+    arrs.append(cnt)
+    if coords:
+        arrs.append(RNG.integers(0, 2**32, n, dtype=np.uint64)
+                    .astype(np.uint32))
+        arrs.append(RNG.integers(0, 2**32, n, dtype=np.uint64)
+                    .astype(np.uint32))
+    a_in = list(_to_persistent(arrs, kw, capacity, window))
+    # overwrite the dead tail with GARBAGE: the kernel must mask by `used`
+    T = window - 2048
+    lp = a_in[0].shape[0]
+    if lp > n:
+        garb = RNG.integers(0, 2**31, lp - n).astype(np.int32)
+        a_in = [jnp.concatenate([a[:n], jnp.asarray(garb)]) for a in a_in]
+    outs, n_live = mp.aggregate_fold_i32(
+        tuple(a_in), n, kw=kw, coords=coords, capacity=capacity,
+        window=window, lo=lo, hi=hi, tile=tile)
+    n_live = int(n_live)
+
+    # numpy oracle
+    packed = arrs[0].astype(np.uint64)
+    if kw == 2:
+        packed = (packed << np.uint64(32)) | arrs[1]
+    exp_rows = []
+    if n:
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                packed[1:] != packed[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        for s, e in zip(starts, ends):
+            tot = min(int(arrs[kw][s:e].astype(np.uint64).sum()),
+                      0xFFFFFFFF)
+            if tot < lo or (hi is not None and tot > hi):
+                continue
+            row = [int(a[s]) for a in arrs[:kw]] + [tot]
+            if coords:
+                pc = ((arrs[kw + 1][s:e].astype(np.uint64) << np.uint64(32))
+                      | arrs[kw + 2][s:e]).min()
+                row += [int(pc >> np.uint64(32)), int(pc & np.uint64(0xFFFFFFFF))]
+            exp_rows.append(row)
+    assert n_live == len(exp_rows)
+    got = np.stack([np.asarray(o)[:n_live].view(np.uint32)
+                    for o in outs]).T if n_live else np.zeros((0, narr))
+    for i, row in enumerate(exp_rows):
+        g = got[i].copy()
+        for j in range(kw):
+            g[j] ^= np.uint32(0x80000000)
+        assert list(g.astype(np.int64)) == [r & 0xFFFFFFFF for r in row], \
+            f"row {i}: {list(g)} != {row}"
+
+
 def _random_reads(n_reads, lo, hi):
     return ["".join(RNG.choice(list("ACGT"), size=int(n)))
             for n in RNG.integers(lo, hi, n_reads)]

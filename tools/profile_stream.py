@@ -1,0 +1,121 @@
+"""Stage-by-stage profile of the streaming-count fold on the live TPU.
+
+Times (queued iterations + one-element fetch, per CLAUDE.md timing rules):
+  prep_canon   canonical_kmers alone
+  prep_sort    batch_entries (canonical + flat sort)
+  fold_empty   fold into a near-empty table (dead-tile skip regime)
+  fold_60pct   fold at realistic occupancy (includes auto-compact if the
+               headroom threshold is crossed)
+  compact      aggregate_fold_i32 at that occupancy
+  legacy_merge the retired generic merge (merge_sorted_u32) at comparable
+               shapes, for A/B context
+
+Run:  python tools/profile_stream.py [capacity_log2=26]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import kmerutils_tpu  # noqa: F401
+import jax
+
+from kmerutils_tpu.base.sequence import pack_codes
+from kmerutils_tpu.base import kmer as kmer_mod
+from kmerutils_tpu.count import stream
+from kmerutils_tpu.ops.merge_pallas import merge_sorted_u32, \
+    aggregate_fold_i32
+
+K = 16
+N_READS, RL = 1024, 8192
+CAPL = int(sys.argv[1]) if len(sys.argv) > 1 else 26
+CAP = 1 << CAPL
+
+
+def timeit(fn, fetch, n_iter=10):
+    fn()  # warm
+    _ = fetch()
+    t0 = time.perf_counter()
+    _ = fetch()
+    t_f = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        r = fn()
+    _ = fetch()
+    return (time.perf_counter() - t0 - t_f) / n_iter
+
+
+def main():
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, size=20 << 20, dtype=np.uint8)
+    starts = rng.integers(0, genome.size - RL, size=N_READS)
+    codes = np.stack([genome[s : s + RL] for s in starts])
+    batch = jax.device_put(pack_codes(codes, np.full(N_READS, RL, np.int32)))
+    nb = N_READS * RL
+
+    # --- prep stages ---
+    canon = jax.jit(lambda b: kmer_mod.canonical_kmers(b, K))
+    out = canon(batch)
+    dt = timeit(lambda: canon(batch), lambda: int(np.asarray(out[0][0, 0])))
+    print(f"prep_canon   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
+
+    prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
+    arrs, live = prep(batch, k=K, read_num_offset=0, coords=True)
+    dt = timeit(lambda: prep(batch, k=K, read_num_offset=0, coords=True),
+                lambda: int(np.asarray(arrs[0][0])))
+    print(f"prep_sort    {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
+
+    # --- fold at low occupancy (dead-tile skip regime) ---
+    table = stream.StreamCountTable.create(CAP, wide=False, coords=True)
+    t1 = stream.fold(table, arrs, live)
+    dt = timeit(lambda: stream.fold(table, arrs, live),
+                lambda: int(np.asarray(t1.used)))
+    print(f"fold_empty   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
+
+    # --- build up occupancy (~60% of capacity as distinct+dup entries) ---
+    t = table
+    target = int(CAP * 0.6)
+    off = 0
+    while int(np.asarray(t.used)) < target:
+        a2, l2 = prep(batch, k=K, read_num_offset=off, coords=True)
+        t = stream.fold(t, a2, l2)
+        off += N_READS
+        # fresh random reads each time so the table actually fills
+        starts = rng.integers(0, genome.size - RL, size=N_READS)
+        codes = np.stack([genome[s : s + RL] for s in starts])
+        batch = jax.device_put(
+            pack_codes(codes, np.full(N_READS, RL, np.int32)))
+    used = int(np.asarray(t.used))
+    print(f"  [occupancy {used/1e6:.1f} M / {CAP/1e6:.1f} M]")
+
+    t2 = stream.fold(t, arrs, live)
+    dt = timeit(lambda: stream.fold(t, arrs, live),
+                lambda: int(np.asarray(t2.used)))
+    print(f"fold_60pct   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
+
+    # --- compact at the same occupancy ---
+    c, nl = aggregate_fold_i32(t.arrs, t.used, kw=1, coords=True,
+                               capacity=CAP, window=t.window)
+    dt = timeit(lambda: aggregate_fold_i32(t.arrs, t.used, kw=1, coords=True,
+                                           capacity=CAP, window=t.window),
+                lambda: int(np.asarray(nl)))
+    print(f"compact      {dt*1e3:8.2f} ms   (used {used/1e6:.1f}M x "
+          f"{len(t.arrs)} arrays)")
+
+    # --- legacy generic merge at comparable shapes, for context ---
+    A = tuple(jax.device_put(np.sort(
+        rng.integers(1, 2**32 - 16, used, dtype=np.uint64)
+        .astype(np.uint32))) for _ in range(1))
+    A = A + tuple(jax.device_put(
+        rng.integers(0, 2**32, used, dtype=np.uint64).astype(np.uint32))
+        for _ in range(3))
+    m = merge_sorted_u32(A, arrs, ncmp=2, window=1 << 17)
+    dt = timeit(lambda: merge_sorted_u32(A, arrs, ncmp=2, window=1 << 17),
+                lambda: int(np.asarray(m[0][0])))
+    print(f"legacy_merge {dt*1e3:8.2f} ms   ({used/1e6:.0f}M + "
+          f"{nb/1e6:.1f}M, 4 arrays)")
+
+
+if __name__ == "__main__":
+    main()
