@@ -111,6 +111,13 @@ class StreamCountTable:
     # absorbs the host's fetch lag before it reacts (see cli/parsefastq).
     grow_hint: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
+    # distinct count at the last compaction — drives the amortized compact
+    # trigger (folds cost O(used), so pending duplicates are bounded at
+    # ~2x distinct: compact work stays proportional to what folds already
+    # pay, and for duplicate-free streams the trigger backs off
+    # exponentially as last_distinct doubles)
+    last_distinct: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     # pytree-static config
     wide: bool = dataclasses.field(metadata=dict(static=True), default=False)
@@ -131,6 +138,7 @@ class StreamCountTable:
             used=jnp.zeros((), jnp.int32),
             n_dropped=jnp.zeros((), I64),
             grow_hint=jnp.zeros((), jnp.int32),
+            last_distinct=jnp.zeros((), jnp.int32),
             wide=wide, coords=coords, cap=capacity, window=window)
 
 
@@ -199,7 +207,8 @@ def _compact(table: StreamCountTable, lo: int = 1,
         table.arrs, table.used, kw=2 if table.wide else 1,
         coords=table.coords, capacity=table.cap, window=table.window,
         lo=lo, hi=hi)
-    return dataclasses.replace(table, arrs=tuple(outs), used=n_live)
+    return dataclasses.replace(table, arrs=tuple(outs), used=n_live,
+                               last_distinct=n_live)
 
 
 @jax.jit
@@ -235,9 +244,14 @@ def fold(table: StreamCountTable, batch_arrs, batch_live):
     # fetch lag still has >= 1 batch of slack before any fold could drop
     # (worst case burns 3 batches: the hint fold's own merge, the lag
     # fold, and the reaction fold; an all-new-keys stream gains at most
-    # BATCH_CAP distinct per fold)
+    # BATCH_CAP distinct per fold).  A second, amortized trigger keeps
+    # pending duplicates bounded at ~2x distinct even far from capacity —
+    # folds cost O(used) in the persistent layout, so letting duplicates
+    # pile up toward a distant capacity threshold would make every fold
+    # pay for them
     headroom = min(4 * BATCH_CAP, S // 2)
-    need = table.used + batch_live > S - headroom
+    need = (table.used + batch_live > S - headroom) | \
+        (table.used > 2 * table.last_distinct + headroom)
     table = jax.lax.cond(need, compact_and_flag,
                          lambda t: dataclasses.replace(
                              t, grow_hint=jnp.zeros((), jnp.int32)), table)
