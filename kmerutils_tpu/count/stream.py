@@ -80,9 +80,10 @@ BATCH_CAP = 9 << 20
 def _layout(capacity: int, narr: int):
     """(window P, merge tile T, n_tiles, physical length Lp) for a table.
 
-    The default window is VMEM-budgeted by array count; small (test-sized)
-    tables shrink it so interpret-mode kernels stay fast."""
-    P = 1 << 18 if narr <= 3 else 1 << 17
+    The default window is VMEM-budgeted by array count (the fold kernel
+    holds TWO full buffer sets for double-buffered input DMA); small
+    (test-sized) tables shrink it so interpret-mode kernels stay fast."""
+    P = 1 << 17 if narr <= 3 else 1 << 16
     P = min(P, 1 << max(12, (capacity - 1).bit_length()))
     T = P - 2 * _Q
     n_tiles = -(-capacity // T)
@@ -160,10 +161,23 @@ def batch_entries(batch: ReadBatch, k: int, read_num_offset,
         keys = jnp.where(flatv, jnp.ravel(can) + U64(1), SENT64)
     else:
         keys = jnp.where(flatv, jnp.ravel(can), SENT32)
-    if coords:
+    if coords and not wide:
+        # pack (key, position) into one u64 and flat-sort: ~1.2x the plain
+        # key sort, vs ~1.6x for a carried-payload variadic sort; the
+        # packed order equals the stable (key, idx) order exactly
+        idx = jnp.arange(n * p, dtype=U64)
+        sp = jnp.sort((keys.astype(U64) << U64(32)) | idx)
+        sk = (sp >> U64(32)).astype(U32)
+        perm = (sp & U64(0xFFFFFFFF)).astype(jnp.int32)
+        live = sk != SENT32
+        rn = (perm // p).astype(U32) + jnp.asarray(read_num_offset, U32)
+        ps = (perm % p).astype(U32)
+        chi = jnp.where(live, rn, SENT32)
+        clo = jnp.where(live, ps, SENT32)
+    elif coords:
         idx = jnp.arange(n * p, dtype=jnp.int32)
         sk, perm = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
-        live = sk != (SENT64 if wide else SENT32)
+        live = sk != SENT64
         rn = (perm // p).astype(U32) + jnp.asarray(read_num_offset, U32)
         ps = (perm % p).astype(U32)
         chi = jnp.where(live, rn, SENT32)

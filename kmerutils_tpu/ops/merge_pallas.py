@@ -333,20 +333,43 @@ def merge_path_partition_dyn(a_arrs, b_arrs, na, nb: int, d, iters: int):
 
 def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
     """Fold-merge tile: identical merge math to :func:`_merge_kernel`, plus
-    (a) inputs/outputs already in the persistent flipped-i32 layout and
+    (a) inputs/outputs already in the persistent flipped-i32 layout,
     (b) a dead-tile fast path — tiles whose output range starts at or past
     the live merged length (scal_ref[n_tiles+1]) write a sentinel block
-    without issuing input DMAs or running the merge network."""
+    without issuing input DMAs or running the merge network — and
+    (c) double-buffered input DMA: each live tile prefetches the NEXT live
+    tile's windows while computing, hiding the load latency.  The two
+    buffer sets are selected STATICALLY by tile parity (pl.when on t&1) —
+    cheaper for Mosaic than dynamically-indexed VMEM slots."""
     T = P - 2 * _Q
     R = P // 128
     a_refs = refs[:narr]
     b_refs = refs[narr : 2 * narr]
     out_refs = refs[2 * narr : 3 * narr]
-    scr = refs[3 * narr : 5 * narr]
-    sems = refs[5 * narr]
+    scr = refs[3 * narr : 7 * narr]     # [set0: a x narr, b x narr | set1]
+    sems = refs[7 * narr]               # (4*narr,) matching scr
     t = pl.program_id(0)
     d0 = t * I32(T)
     end = scal_ref[pl.num_programs(0) + 1]      # used + batch_live
+
+    def tile_copies(tt, s):
+        """Copy descriptors loading tile tt's windows into buffer set s."""
+        x0 = scal_ref[tt]
+        y0 = tt * I32(T) - x0
+        xq = (x0 >> I32(10)) << I32(10)
+        yq = (y0 >> I32(10)) << I32(10)
+        a_off = pl.multiple_of(xq, _Q)
+        b_off = pl.multiple_of(I32(nb_p) - yq, _Q)
+        base = 2 * narr * s
+        cs = []
+        for j in range(narr):
+            cs.append(pltpu.make_async_copy(
+                a_refs[j].at[pl.ds(a_off, P)], scr[base + j],
+                sems.at[base + j]))
+            cs.append(pltpu.make_async_copy(
+                b_refs[j].at[pl.ds(b_off, P)], scr[base + narr + j],
+                sems.at[base + narr + j]))
+        return cs
 
     @pl.when(d0 >= end)
     def _dead():
@@ -354,35 +377,32 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
         for j in range(narr):
             out_refs[j][:] = sent.reshape(T)
 
-    @pl.when(d0 < end)
-    def _live():
+    def live_body(s):
+        @pl.when(t == 0)
+        def _first():
+            for c in tile_copies(t, s):
+                c.start()
+
+        @pl.when(d0 + I32(T) < end)
+        def _prefetch():
+            for c in tile_copies(t + 1, 1 - s):
+                c.start()
+
+        for c in tile_copies(t, s):
+            c.wait()
+
         x0 = scal_ref[t]
         x1 = scal_ref[t + 1]
         y0 = d0 - x0
         y1_ = d0 + I32(T) - x1
         xq = (x0 >> I32(10)) << I32(10)
         yq = (y0 >> I32(10)) << I32(10)
-        a_off = pl.multiple_of(xq, _Q)
-        b_off = pl.multiple_of(I32(nb_p) - yq, _Q)
-
-        copies = []
-        for j in range(narr):
-            c = pltpu.make_async_copy(a_refs[j].at[pl.ds(a_off, P)], scr[j],
-                                      sems.at[j])
-            c.start()
-            copies.append(c)
-            c = pltpu.make_async_copy(b_refs[j].at[pl.ds(b_off, P)],
-                                      scr[narr + j], sems.at[narr + j])
-            c.start()
-            copies.append(c)
-        for c in copies:
-            c.wait()
-
+        base = 2 * narr * s
         row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
         col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
         flat = row * I32(128) + col
-        av = [scr[j][:].reshape(R, 128) for j in range(narr)]
-        bf = [scr[narr + j][:].reshape(R, 128) for j in range(narr)]
+        av = [scr[base + j][:].reshape(R, 128) for j in range(narr)]
+        bf = [scr[base + narr + j][:].reshape(R, 128) for j in range(narr)]
         ka0, ka1 = x0 - xq, x1 - xq
         kb0, kb1 = y0 - yq, y1_ - yq
         for j in range(ncmp):
@@ -397,6 +417,14 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
         for j in range(narr):
             rot = _rotate_flat(merged[j], nf, R)
             out_refs[j][:] = rot[: T // 128, :].reshape(T)
+
+    @pl.when((d0 < end) & ((t & I32(1)) == 0))
+    def _live_even():
+        live_body(0)
+
+    @pl.when((d0 < end) & ((t & I32(1)) == 1))
+    def _live_odd():
+        live_body(1)
 
 
 @functools.partial(jax.jit,
@@ -452,8 +480,8 @@ def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * narr),
         out_specs=[pl.BlockSpec((T,), lambda i, s: (i,),
                                 memory_space=pltpu.VMEM)] * narr,
-        scratch_shapes=[pltpu.VMEM((P,), I32)] * (2 * narr)
-        + [pltpu.SemaphoreType.DMA((2 * narr,))],
+        scratch_shapes=[pltpu.VMEM((P,), I32)] * (4 * narr)
+        + [pltpu.SemaphoreType.DMA((4 * narr,))],
     )
     with jax.enable_x64(False):
         outs = pl.pallas_call(

@@ -146,6 +146,7 @@ def _to_batch_kernel(arrs_u32, ncmp, window, nb_total=None):
     (900, 800, 1, 2, 1024, 4096),      # past capacity (overhang region)
     (0, 500, 2, 5, 4000, 4096),        # empty table
     (1200, 0, 1, 2, 4000, 4096),       # empty batch
+    (15000, 9000, 1, 2, 30000, 4096),  # 15 tiles: long double-buffer chain
 ])
 def test_merge_fold_i32(used, nb, ncmp, narr, capacity, window):
     # keys in [1, 2^32-16): off the all-zeros fake and all-ones sentinel
