@@ -215,12 +215,12 @@ def _batch_to_kernel(batch_arrs, wide: bool, window: int):
     return tuple(outs)
 
 
-def _compact(table: StreamCountTable, lo: int = 1,
-             hi: int | None = None) -> StreamCountTable:
+def _compact(table: StreamCountTable) -> StreamCountTable:
+    # NOTE: never filter by count range here — mid-stream compaction must
+    # preserve every run (finalize applies lo/hi on its own aggregate pass)
     outs, n_live = aggregate_fold_i32(
         table.arrs, table.used, kw=2 if table.wide else 1,
-        coords=table.coords, capacity=table.cap, window=table.window,
-        lo=lo, hi=hi)
+        coords=table.coords, capacity=table.cap, window=table.window)
     return dataclasses.replace(table, arrs=tuple(outs), used=n_live,
                                last_distinct=n_live)
 

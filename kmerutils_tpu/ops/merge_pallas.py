@@ -142,6 +142,44 @@ def _rotate_flat(x, nf, R):
     return jnp.where(col < I32(128) - c0, z1, z2)
 
 
+def _merge_tile_math(av, bf, ka0, ka1, kb0, kb1, out_refs, *, narr, ncmp,
+                     P):
+    """The per-tile merge network shared by :func:`_merge_kernel` and
+    :func:`_merge_fold_kernel`: mask the loaded windows into one bitonic
+    sequence (-inf fakes ahead of the exact A-range, +inf after it; the
+    mirrored masks on the REVERSED B window), run the half-cleaner +
+    bitonic stages, rotate the fakes out, and store the T merged elements.
+
+    av/bf: lists of (R, 128) i32 window views (A ascending, B reversed);
+    ka0/ka1 and kb0/kb1: exact element ranges within the aligned windows.
+    """
+    T = P - 2 * _Q
+    R = P // 128
+    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
+    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
+    flat = row * I32(128) + col
+    for j in range(ncmp):
+        # av: [-inf fakes | reals ascending | +inf] — still ascending
+        av[j] = jnp.where(flat < ka0, _IMIN,
+                          jnp.where(flat >= ka1, _IMAX, av[j]))
+        # bf is reversed: forward position q sits at P-1-q, so the window
+        # prefix (q < kb0 -> -inf) masks the BACK and the suffix
+        # (q >= kb1 -> +inf) masks the FRONT — still descending
+        bf[j] = jnp.where(flat < I32(P) - kb1, _IMAX,
+                          jnp.where(flat >= I32(P) - kb0, _IMIN, bf[j]))
+    # half-cleaner of [A asc | B desc]: partner pairs are elementwise
+    # between A and reversed B; the low half holds the P smallest —
+    # nf fakes + all T reals — and is itself bitonic
+    take_b = _cmp_lt(av, bf, ncmp)              # strict: tie keeps A (stable)
+    low = [jnp.where(take_b, b, a) for a, b in zip(av, bf)]
+    merged = _bitonic_stages(low, ncmp, R)
+    nf = ka0 + kb0
+    for j in range(narr):
+        rot = _rotate_flat(merged[j], nf, R)
+        # first T elements = the first T/128 full rows (row-major layout)
+        out_refs[j][:] = rot[: T // 128, :].reshape(T)
+
+
 def _merge_kernel(astart_ref, *refs, narr, ncmp, P, nb_p):
     """One output tile of T = P - 2*_Q merged elements.
 
@@ -189,34 +227,11 @@ def _merge_kernel(astart_ref, *refs, narr, ncmp, P, nb_p):
     for c in copies:
         c.wait()
 
-    row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
-    col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
-    flat = row * I32(128) + col
     av = [scr[j][:].reshape(R, 128) for j in range(narr)]
     bf = [scr[narr + j][:].reshape(R, 128) for j in range(narr)]
     # exact element ranges within the aligned windows
-    ka0, ka1 = x0 - xq, x1 - xq
-    kb0, kb1 = y0 - yq, y1_ - yq
-    for j in range(ncmp):
-        # av: [-inf fakes | reals ascending | +inf] — still ascending
-        av[j] = jnp.where(flat < ka0, _IMIN,
-                          jnp.where(flat >= ka1, _IMAX, av[j]))
-        # bf is reversed: forward position q sits at P-1-q, so the window
-        # prefix (q < kb0 -> -inf) masks the BACK and the suffix
-        # (q >= kb1 -> +inf) masks the FRONT — still descending
-        bf[j] = jnp.where(flat < I32(P) - kb1, _IMAX,
-                          jnp.where(flat >= I32(P) - kb0, _IMIN, bf[j]))
-    # half-cleaner of [A asc | B desc]: partner pairs are elementwise
-    # between A and reversed B; the low half holds the P smallest —
-    # nf fakes + all T reals — and is itself bitonic
-    take_b = _cmp_lt(av, bf, ncmp)              # strict: tie keeps A (stable)
-    low = [jnp.where(take_b, b, a) for a, b in zip(av, bf)]
-    merged = _bitonic_stages(low, ncmp, R)
-    nf = ka0 + kb0
-    for j in range(narr):
-        rot = _rotate_flat(merged[j], nf, R)
-        # first T elements = the first T/128 full rows (row-major layout)
-        out_refs[j][:] = rot[: T // 128, :].reshape(T)
+    _merge_tile_math(av, bf, x0 - xq, x1 - xq, y0 - yq, y1_ - yq, out_refs,
+                     narr=narr, ncmp=ncmp, P=P)
 
 
 @functools.partial(jax.jit, static_argnames=("ncmp", "window"))
@@ -398,25 +413,10 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
         xq = (x0 >> I32(10)) << I32(10)
         yq = (y0 >> I32(10)) << I32(10)
         base = 2 * narr * s
-        row = jax.lax.broadcasted_iota(I32, (R, 128), 0)
-        col = jax.lax.broadcasted_iota(I32, (R, 128), 1)
-        flat = row * I32(128) + col
         av = [scr[base + j][:].reshape(R, 128) for j in range(narr)]
         bf = [scr[base + narr + j][:].reshape(R, 128) for j in range(narr)]
-        ka0, ka1 = x0 - xq, x1 - xq
-        kb0, kb1 = y0 - yq, y1_ - yq
-        for j in range(ncmp):
-            av[j] = jnp.where(flat < ka0, _IMIN,
-                              jnp.where(flat >= ka1, _IMAX, av[j]))
-            bf[j] = jnp.where(flat < I32(P) - kb1, _IMAX,
-                              jnp.where(flat >= I32(P) - kb0, _IMIN, bf[j]))
-        take_b = _cmp_lt(av, bf, ncmp)
-        low = [jnp.where(take_b, b, a) for a, b in zip(av, bf)]
-        merged = _bitonic_stages(low, ncmp, R)
-        nf = ka0 + kb0
-        for j in range(narr):
-            rot = _rotate_flat(merged[j], nf, R)
-            out_refs[j][:] = rot[: T // 128, :].reshape(T)
+        _merge_tile_math(av, bf, x0 - xq, x1 - xq, y0 - yq, y1_ - yq,
+                         out_refs, narr=narr, ncmp=ncmp, P=P)
 
     @pl.when((d0 < end) & ((t & I32(1)) == 0))
     def _live_even():
@@ -439,7 +439,7 @@ def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
       or past ``used`` is unread garbage (masked by the partition clip).
     b_arrs: i32 arrays of physical length nb_p + window, REVERSED, flipped
       compare words, front-padded with _IMAX sentinels (see
-      count/stream.py's _prep_batch).
+      count/stream.py's _batch_to_kernel).
     used, batch_live: traced scalars — live prefix lengths of each side.
 
     Returns i32 arrays of the same physical shape as a_arrs: positions
@@ -574,10 +574,10 @@ def _agg_tile_compute(a, live, carry, *, narr, kw, T, lo, hi, coords, nokey,
     saturating-sum, coords lexicographic min), end detection, count-range
     filter, emit ranking, and butterfly concentration.
 
-    Returns (vals, e_i32, cnt, chi_clo, new_run, tile_emits, c_emit,
-    carry_from_last) — the caller stages vals into the output and updates
-    the SMEM carry.  ``nokey`` is a fill that matches no LIVE entry's first
-    key word (word-0 inequality is what breaks eq_prev).
+    Returns (vals, cnt, chi_clo, tile_emits, c_emit, carry_from_last) —
+    the caller stages vals into the output and updates the SMEM carry.
+    ``nokey`` is a fill that matches no LIVE entry's first key word
+    (word-0 inequality is what breaks eq_prev).
     """
     c_live = carry[narr + 1] != 0
     # previous-element key (element 0 sees the carry key)

@@ -106,16 +106,22 @@ def test_compact_live_u32(m, narr, tile, frac):
         assert np.all(o[n_live:m] == 0xFFFFFFFF)
 
 
-def _to_persistent(arrs_u32, ncmp, capacity, window):
+def _to_persistent(arrs_u32, ncmp, capacity, window, garbage_tail=False):
     """Raw sorted u32 entry arrays -> the kernel-native persistent table
     form (count/stream.py layout): flipped cmp words, physical length
-    (n_tiles+2)*T, garbage-free sentinel tail."""
+    (n_tiles+2)*T.  With ``garbage_tail`` the region past the live prefix
+    holds RANDOM values (the production state after a compaction) — the
+    kernels must never read it as data."""
     T = window - 2048
     n_tiles = -(-capacity // T)
     lp = (n_tiles + 2) * T
     out = []
     for j, x in enumerate(arrs_u32):
-        full = np.full(lp, 0xFFFFFFFF, np.uint32)
+        if garbage_tail:
+            full = RNG.integers(0, 2**32, lp, dtype=np.uint64) \
+                .astype(np.uint32)
+        else:
+            full = np.full(lp, 0xFFFFFFFF, np.uint32)
         full[:len(x)] = x
         if j < ncmp:
             full ^= np.uint32(0x80000000)
@@ -154,7 +160,7 @@ def test_merge_fold_i32(used, nb, ncmp, narr, capacity, window):
         [np.zeros(0, np.uint32)] * narr
     B = _rand_sorted(nb, ncmp, narr, max_key=2**32 - 16) if nb else \
         [np.zeros(0, np.uint32)] * narr
-    a_in = _to_persistent(A, ncmp, capacity, window)
+    a_in = _to_persistent(A, ncmp, capacity, window, garbage_tail=True)
     b_in = _to_batch_kernel(B, ncmp, window)
     outs = mp.merge_fold_i32(a_in, b_in, used, nb, ncmp=ncmp,
                              capacity=capacity, window=window)
@@ -209,13 +215,8 @@ def test_aggregate_fold_i32(n, kw, coords, lo, hi, tile, capacity, window):
                     .astype(np.uint32))
         arrs.append(RNG.integers(0, 2**32, n, dtype=np.uint64)
                     .astype(np.uint32))
-    a_in = list(_to_persistent(arrs, kw, capacity, window))
-    # overwrite the dead tail with GARBAGE: the kernel must mask by `used`
-    T = window - 2048
-    lp = a_in[0].shape[0]
-    if lp > n:
-        garb = RNG.integers(0, 2**31, lp - n).astype(np.int32)
-        a_in = [jnp.concatenate([a[:n], jnp.asarray(garb)]) for a in a_in]
+    # garbage_tail: the kernel must decide liveness by `used`, not content
+    a_in = _to_persistent(arrs, kw, capacity, window, garbage_tail=True)
     outs, n_live = mp.aggregate_fold_i32(
         tuple(a_in), n, kw=kw, coords=coords, capacity=capacity,
         window=window, lo=lo, hi=hi, tile=tile)

@@ -34,15 +34,20 @@ CAP = 1 << CAPL
 
 
 def timeit(fn, fetch, n_iter=10):
-    fn()  # warm
-    _ = fetch()
+    """fn() -> result; fetch(result) must read ONE element of it.  The
+    axon backend's block_until_ready does not block, so completion of the
+    queued loop is forced by fetching from the LAST iteration's output
+    (fetching a pre-loop result would return instantly and time only
+    dispatch)."""
+    r = fn()  # warm (compile)
+    _ = fetch(r)
     t0 = time.perf_counter()
-    _ = fetch()
+    _ = fetch(r)
     t_f = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n_iter):
         r = fn()
-    _ = fetch()
+    _ = fetch(r)
     return (time.perf_counter() - t0 - t_f) / n_iter
 
 
@@ -56,21 +61,19 @@ def main():
 
     # --- prep stages ---
     canon = jax.jit(lambda b: kmer_mod.canonical_kmers(b, K))
-    out = canon(batch)
-    dt = timeit(lambda: canon(batch), lambda: int(np.asarray(out[0][0, 0])))
+    dt = timeit(lambda: canon(batch), lambda r: int(np.asarray(r[0][0, 0])))
     print(f"prep_canon   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
     prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
     arrs, live = prep(batch, k=K, read_num_offset=0, coords=True)
     dt = timeit(lambda: prep(batch, k=K, read_num_offset=0, coords=True),
-                lambda: int(np.asarray(arrs[0][0])))
+                lambda r: int(np.asarray(r[0][0][0])))
     print(f"prep_sort    {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
     # --- fold at low occupancy (dead-tile skip regime) ---
     table = stream.StreamCountTable.create(CAP, wide=False, coords=True)
-    t1 = stream.fold(table, arrs, live)
     dt = timeit(lambda: stream.fold(table, arrs, live),
-                lambda: int(np.asarray(t1.used)))
+                lambda r: int(np.asarray(r.used)))
     print(f"fold_empty   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
     # --- build up occupancy (~60% of capacity as distinct+dup entries) ---
@@ -89,30 +92,29 @@ def main():
     used = int(np.asarray(t.used))
     print(f"  [occupancy {used/1e6:.1f} M / {CAP/1e6:.1f} M]")
 
-    t2 = stream.fold(t, arrs, live)
     dt = timeit(lambda: stream.fold(t, arrs, live),
-                lambda: int(np.asarray(t2.used)))
+                lambda r: int(np.asarray(r.used)))
     print(f"fold_60pct   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
     # --- compact at the same occupancy ---
-    c, nl = aggregate_fold_i32(t.arrs, t.used, kw=1, coords=True,
-                               capacity=CAP, window=t.window)
     dt = timeit(lambda: aggregate_fold_i32(t.arrs, t.used, kw=1, coords=True,
                                            capacity=CAP, window=t.window),
-                lambda: int(np.asarray(nl)))
+                lambda r: int(np.asarray(r[1])))
     print(f"compact      {dt*1e3:8.2f} ms   (used {used/1e6:.1f}M x "
           f"{len(t.arrs)} arrays)")
 
     # --- legacy generic merge at comparable shapes, for context ---
-    A = tuple(jax.device_put(np.sort(
-        rng.integers(1, 2**32 - 16, used, dtype=np.uint64)
-        .astype(np.uint32))) for _ in range(1))
+    # (cmp pair = sorted keys + all-zeros second word — lexicographically
+    # sorted as merge_sorted_u32 requires; the other 2 arrays are payloads)
+    A = (jax.device_put(np.sort(
+            rng.integers(1, 2**32 - 16, used, dtype=np.uint64)
+            .astype(np.uint32))),
+         jax.device_put(np.zeros(used, np.uint32)))
     A = A + tuple(jax.device_put(
         rng.integers(0, 2**32, used, dtype=np.uint64).astype(np.uint32))
-        for _ in range(3))
-    m = merge_sorted_u32(A, arrs, ncmp=2, window=1 << 17)
+        for _ in range(2))
     dt = timeit(lambda: merge_sorted_u32(A, arrs, ncmp=2, window=1 << 17),
-                lambda: int(np.asarray(m[0][0])))
+                lambda r: int(np.asarray(r[0][0])))
     print(f"legacy_merge {dt*1e3:8.2f} ms   ({used/1e6:.0f}M + "
           f"{nb/1e6:.1f}M, 4 arrays)")
 
