@@ -83,7 +83,14 @@ def smoke_aggregate(rng):
 
 
 def smoke_stream_count(rng):
-    """Whole streaming pipeline vs collections.Counter on real hardware."""
+    """Whole streaming pipeline vs collections.Counter on real hardware.
+
+    Folds the same batch FOUR times: the 64-read batch (~35k entries)
+    crosses the amortized compact trigger, so the drive exercises the
+    fold merge (multi-tile double-buffer chain), the on-device
+    aggregate+compact under lax.cond, AND finalize — counts must be
+    exactly 4x the single-pass oracle and coordinates must come from the
+    first pass (read numbering is per-fold here on purpose)."""
     import collections
     from kmerutils_tpu.base.sequence import pack_ascii_reads
     from kmerutils_tpu.base import kmer as kmer_mod
@@ -95,16 +102,25 @@ def smoke_stream_count(rng):
     table = stream.StreamCountTable.create(1 << 17, wide=False, coords=True)
     batch = pack_ascii_reads(reads)
     arrs, live = stream.batch_entries(batch, 16, 0, coords=True)
-    table = stream.fold(table, arrs, live)
+    n_folds = 4
+    for _ in range(n_folds):
+        table = stream.fold(table, arrs, live)
     keys, counts, rn, ps, dropped = stream.finalize(table)
     oracle = collections.Counter()
-    for r in reads:
+    first = {}
+    for rnum, r in enumerate(reads):
         for i in range(len(r) - 15):
             s = r[i:i + 16]
-            oracle[min(s, s.translate(comp)[::-1])] += 1
-    want = {kmer_mod.kmer_value_from_str(s): c for s, c in oracle.items()}
+            c = min(s, s.translate(comp)[::-1])
+            oracle[c] += 1
+            first.setdefault(c, (rnum, i))
+    want = {kmer_mod.kmer_value_from_str(s): c * n_folds
+            for s, c in oracle.items()}
     got = {int(k): int(c) for k, c in zip(keys, counts)}
-    return check("stream table == Counter oracle", got == want and not dropped)
+    wantc = {kmer_mod.kmer_value_from_str(s): fc for s, fc in first.items()}
+    gotc = {int(k): (int(r), int(p)) for k, r, p in zip(keys, rn, ps)}
+    return check("stream table (4 folds + compact) == Counter oracle",
+                 got == want and gotc == wantc and not dropped)
 
 
 def main():
