@@ -72,8 +72,48 @@ def _load():
         ]
     except AttributeError:
         pass  # stale .so without the qual entry point
+    try:
+        lib.ktp_wavelet_build.restype = ctypes.c_long
+        lib.ktp_wavelet_build.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_long,
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+    except AttributeError:
+        pass  # stale .so without the wavelet entry point
     _lib = lib
     return _lib
+
+
+def wavelet_build(vals: np.ndarray, bit_len: int):
+    """Build wavelet-matrix levels natively (native/wavelet.cpp).
+
+    vals: uint8[n] symbols < 2**bit_len.  Returns
+    (words u64[bit_len, nw], sub u16[bit_len, nw], sup u32[bit_len, nsup+1],
+    zeros i64[bit_len]) in the _BitVecRank layout, or None when the native
+    library (or its wavelet entry point) is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ktp_wavelet_build"):
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint8)
+    n = vals.size
+    nw = (n + 63) // 64
+    nsup = (nw + 7) // 8
+    words = np.empty((bit_len, nw), dtype=np.uint64)
+    sub = np.empty((bit_len, nw), dtype=np.uint16)
+    sup = np.empty((bit_len, nsup + 1), dtype=np.uint32)
+    zeros = np.empty(bit_len, dtype=np.int64)
+    rc = lib.ktp_wavelet_build(vals, n, int(bit_len),
+                               words.reshape(-1), sub.reshape(-1),
+                               sup.reshape(-1), zeros)
+    if rc != 0:
+        return None
+    return words, sub, sup, zeros
 
 
 def iter_quality_blocks(path: str, block_reads: int = 10000,

@@ -27,12 +27,19 @@ def quality_to_proba(q, qmin: int = 0x25):
     return np.power(10.0, (qmin - q) / 10.0)
 
 
-def remap_quality8(q) -> np.ndarray:
-    """Vectorized exact twin of quality.rs:34-43."""
-    q = np.asarray(q, dtype=np.int32)
+def _remap_lut() -> np.ndarray:
+    q = np.arange(256, dtype=np.int32)
     mid = 1 + ((np.minimum(q, 0x37) - 0x25) * 6 // 18)
-    out = np.where(q > 0x37, 7, np.where(q < 0x25, 0, mid))
-    return out.astype(np.uint8)
+    return np.where(q > 0x37, 7, np.where(q < 0x25, 0, mid)).astype(np.uint8)
+
+
+_REMAP_LUT = _remap_lut()
+
+
+def remap_quality8(q) -> np.ndarray:
+    """Vectorized exact twin of quality.rs:34-43 (256-entry table; the
+    arithmetic form ran at ~18 MB/s through numpy's int32 floor-divide)."""
+    return _REMAP_LUT[np.asarray(q, dtype=np.uint8)]
 
 
 class _BitVecRank:
@@ -62,6 +69,17 @@ class _BitVecRank:
         self.sub = within.astype(np.uint16).ravel()[:nw]
         sup_tot = per_sup.sum(axis=1)
         self.sup = np.concatenate([[0], np.cumsum(sup_tot)]).astype(np.uint32)
+
+    @classmethod
+    def _from_parts(cls, n: int, words: np.ndarray, sup: np.ndarray,
+                    sub: np.ndarray) -> "_BitVecRank":
+        """Adopt directories built elsewhere (native/wavelet.cpp)."""
+        bv = cls.__new__(cls)
+        bv.n = n
+        bv.words = words
+        bv.sup = sup
+        bv.sub = sub
+        return bv
 
     @staticmethod
     def _popcounts(words):
@@ -106,13 +124,27 @@ class WaveletMatrix:
     parity with the wavelet-matrix crate's API).
     """
 
+    # below this the numpy build's fixed overhead beats the ctypes round trip
+    _NATIVE_MIN = 1 << 14
+
     def __init__(self, values, bit_len: int = 3):
-        v = np.asarray(values, dtype=np.uint64)
+        v = np.asarray(values)
         self.n = v.size
         self._bit_len = bit_len
         self.levels: list[_BitVecRank] = []
         self.zeros: list[int] = []
-        cur = v
+        if v.size >= self._NATIVE_MIN and bit_len <= 8:
+            from ..io import native
+            parts = native.wavelet_build(
+                v if v.dtype == np.uint8 else v.astype(np.uint8), bit_len)
+            if parts is not None:
+                words, sub, sup, zeros = parts
+                for d in range(bit_len):
+                    self.levels.append(_BitVecRank._from_parts(
+                        v.size, words[d], sup[d], sub[d]))
+                    self.zeros.append(int(zeros[d]))
+                return
+        cur = v.astype(np.uint64)
         for lvl in range(bit_len - 1, -1, -1):
             bits = ((cur >> np.uint64(lvl)) & np.uint64(1)).astype(bool)
             bv = _BitVecRank(bits)
@@ -178,7 +210,7 @@ class QSequenceWM:
         self.read_num = read_num
         if raw_remapped is None:
             raw_remapped = remap_quality8(np.asarray(qv, dtype=np.uint8))
-        self.qseq = WaveletMatrix(raw_remapped.astype(np.uint64), bit_len=3)
+        self.qseq = WaveletMatrix(raw_remapped, bit_len=3)
 
     def __len__(self):
         return len(self.qseq)
@@ -188,6 +220,117 @@ class QSequenceWM:
 
     def bit_len(self) -> int:
         return self.qseq.bit_len()
+
+
+class _StoreReadQseq:
+    """Adapter giving one read of a :class:`QualityStore` the same lookup
+    surface as a per-read WaveletMatrix (what QualityServer uses)."""
+
+    __slots__ = ("_store", "_base", "_n")
+
+    def __init__(self, store: "QualityStore", base: int, n: int):
+        self._store = store
+        self._base = base
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def lookup(self, idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        return self._store.wm.lookup(idx + self._base)
+
+    def bit_len(self):
+        return self._store.wm.bit_len()
+
+
+class _StoreReadView:
+    """Duck-type of :class:`QSequenceWM` backed by a QualityStore slice."""
+
+    __slots__ = ("read_num", "qseq", "_n")
+
+    def __init__(self, store: "QualityStore", read_num: int):
+        base = int(store.offsets[read_num])
+        self._n = int(store.offsets[read_num + 1]) - base
+        self.read_num = read_num
+        self.qseq = _StoreReadQseq(store, base, self._n)
+
+    def __len__(self):
+        return self._n
+
+    def decompress(self) -> QSequenceRaw:
+        return QSequenceRaw(
+            self.read_num,
+            self.qseq.lookup(np.arange(self._n)).astype(np.uint8))
+
+    def bit_len(self):
+        return self.qseq.bit_len()
+
+
+class QualityStore:
+    """ALL reads' remapped qualities in ONE wavelet matrix + offsets.
+
+    Batched alternative to a list of per-read :class:`QSequenceWM` (the
+    reference holds one WaveletMatrix per read, quality.rs:74-122): the
+    build is a single vectorized pass over the whole file's symbols
+    instead of ~20 tiny numpy calls per read, and rank directories
+    amortize across reads.  Index it like the per-read list — views expose
+    the same decompress()/qseq.lookup surface, so QualityServer works
+    unchanged.
+    """
+
+    def __init__(self, remapped: np.ndarray, offsets: np.ndarray):
+        self.wm = WaveletMatrix(remapped, bit_len=3)
+        self.offsets = np.asarray(offsets, np.int64)
+
+    def __len__(self):
+        return len(self.offsets) - 1
+
+    def __getitem__(self, read_num: int) -> _StoreReadView:
+        if not 0 <= read_num < len(self):
+            raise IndexError(read_num)
+        return _StoreReadView(self, read_num)
+
+    def memory_bits(self) -> int:
+        return self.wm.memory_bits() + self.offsets.size * 64
+
+
+def load_quality_store(fname: str, max_reads: int | None = None
+                       ) -> QualityStore:
+    """FASTQ -> :class:`QualityStore` (batched twin of
+    :func:`load_quality_wm`; one wavelet build over the concatenated
+    remapped qualities)."""
+    from ..io import fastx, native
+    chunks = []
+    lens = [0]
+    if native.available() and hasattr(native._load(), "ktp_next_block_qual"):
+        try:
+            done = False
+            for quals, offsets in native.iter_quality_blocks(fname):
+                take = len(offsets) - 1
+                if max_reads is not None:
+                    take = min(take, max_reads - (len(lens) - 1))
+                    done = take < len(offsets) - 1
+                chunks.append(remap_quality8(quals[:offsets[take]]))
+                lens.extend(np.diff(offsets[:take + 1]).tolist())
+                if done:
+                    break
+            return QualityStore(
+                np.concatenate(chunks) if chunks else np.zeros(0, np.uint8),
+                np.cumsum(np.asarray(lens, np.int64)))
+        except ValueError:
+            chunks, lens = [], [0]    # wrapped/odd FASTQ: python fallback
+    for i, (_rid, _seq, qual) in enumerate(fastx.iter_fastx(fname)):
+        if qual is None:
+            raise ValueError("FASTA file has no qualities")
+        q = np.frombuffer(qual, dtype=np.uint8)
+        chunks.append(remap_quality8(q))
+        lens.append(q.size)
+        if max_reads is not None and i + 1 >= max_reads:
+            break
+    return QualityStore(
+        np.concatenate(chunks) if chunks else np.zeros(0, np.uint8),
+        np.cumsum(np.asarray(lens, np.int64)))
 
 
 def load_quality_wm(fname: str, max_reads: int | None = None):

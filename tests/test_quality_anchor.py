@@ -63,6 +63,34 @@ class TestWaveletMatrix:
             for pos in (0, 1, 17, 255, 500):
                 assert wm.rank(sym, pos) == int((vals[:pos] == sym).sum()), (sym, pos)
 
+    def test_native_build_layout_parity(self, rng):
+        # native/wavelet.cpp must emit byte-identical directories to the
+        # numpy build (words / sub / sup / zeros) at awkward sizes
+        from kmerutils_tpu.io import native
+        if native.wavelet_build(np.zeros(1, np.uint8), 3) is None:
+            pytest.skip("native wavelet builder not available")
+        for n in (64, 65, 511, 513, 4095, 100_001):
+            vals = rng.integers(0, 8, size=n).astype(np.uint64)
+            words, sub, sup, zeros = native.wavelet_build(
+                vals.astype(np.uint8), 3)
+            cur = vals
+            for d, lvl in enumerate((2, 1, 0)):
+                bits = ((cur >> np.uint64(lvl)) & np.uint64(1)).astype(bool)
+                bv = Q._BitVecRank(bits)
+                assert (words[d] == bv.words).all(), (n, d)
+                assert (sub[d] == bv.sub).all(), (n, d)
+                assert (sup[d] == bv.sup).all(), (n, d)
+                assert zeros[d] == int((~bits).sum()), (n, d)
+                cur = np.concatenate([cur[~bits], cur[bits]])
+
+    def test_native_build_dense(self):
+        # dense all-ones levels exercised above the native threshold
+        vals = np.full(100_000, 7, dtype=np.uint64)
+        vals[::7] = 2
+        wm = Q.WaveletMatrix(vals)
+        assert (wm.access_all() == vals).all()
+        assert wm.rank(7, vals.size) == int((vals == 7).sum())
+
     def test_memory_savings(self, rng):
         vals = rng.integers(0, 8, size=100_000, dtype=np.uint64)
         wm = Q.WaveletMatrix(vals)
@@ -75,6 +103,63 @@ class TestWaveletMatrix:
         raw = wm.decompress()
         assert raw.read_num == 7
         assert (raw.qseq == Q.remap_quality8(qv)).all()
+
+
+class TestQualityStore:
+    def _fixture(self, rng, tmp_path, n_reads=12):
+        reads = ["".join(rng.choice(list("ACGT"), size=int(n)))
+                 for n in rng.integers(20, 200, n_reads)]
+        quals = ["".join(chr(int(q)) for q in rng.integers(0x21, 0x4B, len(r)))
+                 for r in reads]
+        p = str(tmp_path / "store.fastq")
+        fastx.write_fastq(p, reads, quals)
+        return p, quals
+
+    def test_store_matches_per_read(self, rng, tmp_path):
+        p, quals = self._fixture(rng, tmp_path)
+        store = Q.load_quality_store(p)
+        per_read = Q.load_quality_wm(p)
+        assert len(store) == len(per_read) == len(quals)
+        for i in range(len(quals)):
+            view = store[i]
+            assert view.read_num == i
+            assert len(view) == len(per_read[i])
+            got = view.decompress().qseq
+            assert (got == per_read[i].decompress().qseq).all()
+        # random block lookups through the adapter
+        v = store[3]
+        exp = Q.remap_quality8(np.frombuffer(quals[3].encode(), np.uint8))
+        idx = rng.integers(0, len(v), size=17)
+        assert (v.qseq.lookup(idx) == exp[idx].astype(np.uint64)).all()
+        with pytest.raises(IndexError):
+            store[len(quals)]
+
+    def test_store_max_reads(self, rng, tmp_path):
+        p, quals = self._fixture(rng, tmp_path, n_reads=9)
+        store = Q.load_quality_store(p, max_reads=4)
+        assert len(store) == 4
+        exp = Q.remap_quality8(np.frombuffer(quals[3].encode(), np.uint8))
+        assert (store[3].decompress().qseq == exp).all()
+
+    def test_store_memory(self, rng, tmp_path):
+        p, quals = self._fixture(rng, tmp_path, n_reads=30)
+        store = Q.load_quality_store(p)
+        total = sum(len(q) for q in quals)
+        # one shared directory: comfortably under the 8 bits/symbol raw rate
+        assert store.memory_bits() / total < 5.0
+
+    def test_server_over_store(self, rng, tmp_path):
+        p, quals = self._fixture(rng, tmp_path, n_reads=5)
+        store = Q.load_quality_store(p)
+        server = QualityServer(store, port=0)
+        server.serve_in_thread()
+        cli = QualityClient(port=server.port)
+        want = Q.remap_quality8(np.frombuffer(quals[2].encode(), np.uint8))
+        assert (cli.get_quality_sequence(2) == want).all()
+        assert (cli.get_quality_block(2, 5, 15) == want[5:15]).all()
+        assert cli.get_quality_base(2, 7) == int(want[7])
+        cli.exit_server()
+        cli.close()
 
 
 class TestQualityServer:
