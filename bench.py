@@ -77,7 +77,11 @@ def bench_stream_count(rng):
     """Device-side streaming counting rate (kmers/s and Mbases/s) through
     the Pallas merge-fold table — VERDICT #2's first missing metric.
     Synthetic genome-with-coverage batches (so folds see realistic
-    duplicate mixes), batch shape = the CLI's quantized 1024x8192."""
+    duplicate mixes), batch shape = the CLI's quantized 1024x8192, table
+    in the CLI's `--count` large-file configuration (no coords, 2^28
+    capacity => LSM staging depth 2; round-1/early-round-2 versions of
+    this metric used coords=True at 2^26, which is ~2x slower per fold —
+    the `--unique` flavor)."""
     from kmerutils_tpu.count import stream
 
     K = 16
@@ -87,22 +91,33 @@ def bench_stream_count(rng):
     codes = np.stack([genome[s : s + rl] for s in starts])
     batch = pack_codes(codes, np.full(n_reads, rl, np.int32))
 
-    cap = 1 << 26
-    table = stream.StreamCountTable.create(cap, wide=False, coords=True)
+    cap = 1 << 28
     prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
-    # warmup: one prep+fold (compiles merge kernel + compact branch)
-    arrs, live = prep(batch, k=K, read_num_offset=0, coords=True)
-    table = stream.fold(table, arrs, live)
-    _ = int(np.asarray(table.used))
+    # warmup: one full staged cycle (compiles prep, both stage-merge
+    # shapes, the fold, and its compact branch)
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(cap, wide=False, coords=False))
+    for i in range(1 << folder.depth):
+        arrs, live = prep(batch, k=K, read_num_offset=i * n_reads,
+                          coords=False)
+        folder.push(arrs, live)
+    _ = int(np.asarray(folder.flush().used))
 
-    n_iter = 10
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(cap, wide=False, coords=False))
+    n_iter = 3 * (1 << folder.depth)      # whole staged cycles
     t0 = time.perf_counter()
     off = 0
+    pending = []          # lag-1 sync per fold (the CLI's hint-fetch
+    #                       pattern): bounds queued fold outputs in HBM
     for _ in range(n_iter):
-        arrs, live = prep(batch, k=K, read_num_offset=off, coords=True)
-        table = stream.fold(table, arrs, live)
+        arrs, live = prep(batch, k=K, read_num_offset=off, coords=False)
+        if folder.push(arrs, live):
+            pending.append(folder.table.used)
+            if len(pending) > 1:
+                int(np.asarray(pending.pop(0)))
         off += n_reads
-    used = int(np.asarray(table.used))  # forces completion
+    used = int(np.asarray(folder.flush().used))  # forces completion
     dt = (time.perf_counter() - t0) / n_iter
     assert used > 0
     kmers = n_reads * (rl - K + 1)
@@ -181,16 +196,19 @@ def bench_e2e_file_count(rng):
                 f.write(qual)
                 f.write(b"\n")
     K = 16
-    table = stream.StreamCountTable.create(1 << 26, wide=False, coords=False)
+    cap = 1 << 26     # what the CLI auto-sizes for this ~100 MB file
     prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
     # warmup compile on the first batch shape
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(cap, wide=False, coords=False))
     it = fastx.read_batches(path, bucket=False)
     b0, _ = next(it)
     arrs, live = prep(b0, k=K, read_num_offset=0, coords=False)
-    table = stream.fold(table, arrs, live)
-    _ = int(np.asarray(table.used))
+    folder.push(arrs, live)
+    _ = int(np.asarray(folder.flush().used))
     del it
-    table = stream.StreamCountTable.create(1 << 26, wide=False, coords=False)
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(cap, wide=False, coords=False))
 
     t0 = time.perf_counter()
     st = fastx.IngestStats()
@@ -198,11 +216,12 @@ def bench_e2e_file_count(rng):
     for batch, idx in fastx.read_batches_overlapped(path, stats=st,
                                                     bucket=False):
         arrs, live = prep(batch, k=K, read_num_offset=0, coords=False)
-        table = stream.fold(table, arrs, live)
-        pending.append(table.used)
-        if len(pending) > 2:
-            int(np.asarray(pending.pop(0)))
-    keys, counts, _, _, dropped = stream.finalize(table, min_count=2)
+        if folder.push(arrs, live):
+            pending.append(folder.table.used)
+            if len(pending) > 2:
+                int(np.asarray(pending.pop(0)))
+    keys, counts, _, _, dropped = stream.finalize(folder.flush(),
+                                                  min_count=2)
     dt = time.perf_counter() - t0
     assert len(keys) > 0 and dropped == 0
     return st.n_bases / dt / 1e6

@@ -22,17 +22,18 @@ from kmerutils_tpu.count import stream
 def main():
     path = sys.argv[1]
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    table = stream.StreamCountTable.create(1 << 22, wide=k > 16,
-                                           coords=False)
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(1 << 22, wide=k > 16, coords=False))
     prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
     st = fastx.IngestStats()
     offset = 0
     for batch, idx in fastx.read_batches_overlapped(path, stats=st,
                                                     bucket=False):
         arrs, live = prep(batch, k=k, read_num_offset=offset, coords=False)
-        table = stream.fold(table, arrs, live)
+        folder.push(arrs, live)
         offset += len(idx)
-    keys, counts, _, _, dropped = stream.finalize(table, min_count=2)
+    keys, counts, _, _, dropped = stream.finalize(folder.flush(),
+                                                  min_count=2)
     print(f"{st.n_reads} reads, {st.n_bases} bases, "
           f"{len(keys)} kmers with count >= 2"
           + (f" ({dropped} entries dropped — raise capacity)" if dropped

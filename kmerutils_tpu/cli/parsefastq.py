@@ -97,17 +97,20 @@ def main(argv=None):
         # and runs ~2x faster without the two coordinate words
         coords = not args.count
         cap_max = args.capacity or _auto_capacity(args.filename, coords)
-        # start small and GROW toward cap_max only when needed: folds over
-        # a mostly-empty oversized table waste merge bandwidth.  The
-        # trigger is the table's own grow_hint — raised on DEVICE right
-        # after a compaction, when the fresh DISTINCT count is within 4
-        # batches of capacity (plain `used` is inflated by pending
-        # duplicates and would grow spuriously; and the 4-batch margin
-        # covers the 2-fold staleness of the host fetch, so growth lands
-        # before any fold can drop)
+        # start small and GROW toward cap_max only when needed (saves HBM
+        # when the file is mostly duplicates; folds themselves cost
+        # O(occupancy), not capacity).  The trigger is the table's own
+        # grow_hint — raised on DEVICE right after a compaction, when the
+        # fresh DISTINCT count is within the fold headroom of capacity
+        # (plain `used` is inflated by pending duplicates and would grow
+        # spuriously; the headroom covers the lag-1 host fetch, so growth
+        # lands before any fold can drop — stream.fold).  Batches are
+        # staged through binary-counter merges (stream.StagedFolder) so
+        # the table's O(occupancy) re-read amortizes over 2^depth batches
         capacity = min(cap_max, 1 << 26)
-        table = stream.StreamCountTable.create(capacity, wide=k > 16,
-                                               coords=coords)
+        folder = stream.StagedFolder(
+            stream.StreamCountTable.create(capacity, wide=k > 16,
+                                           coords=coords))
         prep = jax.jit(stream.batch_entries,
                        static_argnames=("k", "coords"))
         spill_store = None
@@ -121,22 +124,25 @@ def main(argv=None):
             dist.record_batch(batch)
             arrs, live = prep(batch, k=k, read_num_offset=offset,
                               coords=coords)
-            table = stream.fold(table, arrs, live)
+            folded = folder.push(arrs, live)
             offset += len(idx)  # real reads only (batch may be shape-padded)
-            pending.append(table.grow_hint)
+            if not folded:
+                continue
+            pending.append(folder.table.grow_hint)
             if len(pending) > 1:
                 # host fetch of a scalar from the PREVIOUS fold: double
                 # buffering (device runs fold i while we read fold i-1's
                 # hint; block_until_ready does not block on the axon
                 # backend — a fetch does).  Lag 1 keeps the drop-safety
-                # margin: a hint fires with >= 4 batches of post-compact
-                # slack and the worst case consumes 3 (hint fold + lag +
-                # reaction fold) before growth/spill lands
+                # margin: a hint fires with >= 3 folds of post-compact
+                # slack (stream.fold sizes the headroom from the fold's
+                # own static input size) and the worst case consumes them
+                # all before growth/spill lands
                 hint = int(np.asarray(pending.pop(0)))
                 if hint:
                     if capacity < cap_max:
                         capacity = min(capacity * 8, cap_max)
-                        table = stream.grow(table, capacity)
+                        folder.table = stream.grow(folder.table, capacity)
                     elif not getattr(args, "no_spill", False):
                         # growth ladder topped out: ship the table's
                         # aggregated runs to a disk segment and restart
@@ -144,8 +150,9 @@ def main(argv=None):
                         if spill_store is None:
                             spill_store = spill_mod.SpillStore(
                                 wide=k > 16, coords=coords)
-                        table = spill_store.spill_table(table)
+                        folder.table = spill_store.spill_table(folder.table)
                         pending.clear()
+        table = folder.flush()
         bpc = 1 if args.counter_size <= 8 else 2
         if spill_store is not None and spill_store.n_segments:
             # spill epochs happened: final table joins them as one more

@@ -59,7 +59,8 @@ import jax.numpy as jnp
 
 from ..base.sequence import ReadBatch
 from ..base import kmer as kmer_mod
-from ..ops.merge_pallas import merge_fold_i32, aggregate_fold_i32
+from ..ops.merge_pallas import (merge_fold_i32, aggregate_fold_i32,
+                                merge_sorted_u32)
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -149,9 +150,12 @@ def batch_entries(batch: ReadBatch, k: int, read_num_offset,
 
     Returns (arrs, n_live): uint32 arrays [n*p] in RAW entry order —
     (key[, cnt, coord_hi, coord_lo]) for u32 keys, split (hi, lo) for u64 —
-    sorted ascending, one entry per valid kmer position (count 1 each; u64
-    keys biased +1, u32 bias is applied inside fold's layout conversion).
-    read_num_offset may be a traced scalar.
+    sorted ascending, one entry per valid kmer position (count 1 each).
+    Keys carry the +1 storage bias at BOTH widths, so runs can be merged
+    pairwise with ops/merge_pallas.merge_sorted_u32 (its no-zero-key
+    constraint would otherwise be violated by the all-A canonical kmer)
+    before folding — see :class:`StagedFolder`.  read_num_offset may be a
+    traced scalar.
     """
     can, valid, _ = kmer_mod.canonical_kmers(batch, k)
     n, p = can.shape
@@ -160,7 +164,7 @@ def batch_entries(batch: ReadBatch, k: int, read_num_offset,
     if wide:
         keys = jnp.where(flatv, jnp.ravel(can) + U64(1), SENT64)
     else:
-        keys = jnp.where(flatv, jnp.ravel(can), SENT32)
+        keys = jnp.where(flatv, jnp.ravel(can) + U32(1), SENT32)
     if coords and not wide:
         # pack (key, position) into one u64 and flat-sort: ~1.2x the plain
         # key sort, vs ~1.6x for a carried-payload variadic sort; the
@@ -196,18 +200,17 @@ def batch_entries(batch: ReadBatch, k: int, read_num_offset,
 
 
 def _batch_to_kernel(batch_arrs, wide: bool, window: int):
-    """RAW sorted batch entries -> the fold kernel's b-side form: compare
-    words +1-biased (u32) and sign-flipped, padded to a _Q multiple plus
-    one window of trailing sentinels, then REVERSED (Mosaic has no
-    in-kernel rev; the kernel slices descending windows from the back)."""
+    """RAW sorted batch entries (keys already +1-biased by
+    :func:`batch_entries`) -> the fold kernel's b-side form: compare words
+    sign-flipped, padded to a _Q multiple plus one window of trailing
+    sentinels, then REVERSED (Mosaic has no in-kernel rev; the kernel
+    slices descending windows from the back)."""
     ncmp = 2 if wide else 1
     nb = batch_arrs[0].shape[0]
     nb_p = -(-nb // _Q) * _Q
     outs = []
     for j, x in enumerate(batch_arrs):
         x = jnp.asarray(x, U32)
-        if not wide and j == 0:
-            x = x + (x != SENT32).astype(U32)        # +1 bias, sentinel fixed
         x = jnp.concatenate([x, jnp.full((nb_p + window - nb,), SENT32, U32)])
         if j < ncmp:
             x = x ^ _FLIP
@@ -243,29 +246,34 @@ def fold(table: StreamCountTable, batch_arrs, batch_live):
                                    used=jnp.minimum(used, S),
                                    n_dropped=t.n_dropped + dropped)
 
+    # F bounds this fold's live entries by the STATIC physical b length
+    # (a plain batch is < BATCH_CAP; a StagedFolder run spans up to
+    # 2^depth batches).  The capacity headroom derives from it: the hint
+    # can only be raised AT a compaction, and the no-drop induction needs
+    # S - H + 3F <= S — the last hint-free fold leaves distinct <= S - H,
+    # the raising fold adds <= F new distinct plus its own <= F merge, and
+    # one host-lag fold adds <= F before the reaction lands (lag-1 hint
+    # fetch, cli/parsefastq) — so H = 3F + one batch of margin.
+    # StagedFolder caps its depth at 6 * 2^depth * BATCH_CAP <= S so the
+    # small-table S//2 clamp never undercuts 3F.
+    F = max(batch_arrs[0].shape[0], BATCH_CAP)
+    headroom = min(3 * F + BATCH_CAP, S // 2)
+
     def compact_and_flag(t):
         t = _compact(t)
         # t.used is now the true DISTINCT count; raise the growth hint
-        # while there are still >= 4 batches of slack (host fetch lag)
-        hint = (t.used + batch_live
-                > S - min(4 * BATCH_CAP, S // 2)).astype(jnp.int32)
+        # while the induction above still has its 3-fold slack
+        hint = (t.used + batch_live > S - headroom).astype(jnp.int32)
         return dataclasses.replace(t, grow_hint=hint)
 
-    # compact once occupancy crosses S - 4*BATCH_CAP (small test-sized
-    # tables: half capacity).  The 4-batch headroom is deliberate: the
-    # growth hint can only be raised AT a compaction, so compacting this
-    # early guarantees a hint fires while a host reacting with a 1-fold
-    # fetch lag still has >= 1 batch of slack before any fold could drop
-    # (worst case burns 3 batches: the hint fold's own merge, the lag
-    # fold, and the reaction fold; an all-new-keys stream gains at most
-    # BATCH_CAP distinct per fold).  A second, amortized trigger keeps
-    # pending duplicates bounded at ~2x distinct even far from capacity —
-    # folds cost O(used) in the persistent layout, so letting duplicates
-    # pile up toward a distant capacity threshold would make every fold
-    # pay for them
-    headroom = min(4 * BATCH_CAP, S // 2)
+    # A second, amortized trigger (independent of the staged fold size)
+    # keeps pending duplicates bounded at ~2x distinct even far from
+    # capacity — folds cost O(used) in the persistent layout, so letting
+    # duplicates pile up toward a distant capacity threshold would make
+    # every fold pay for them
     need = (table.used + batch_live > S - headroom) | \
-        (table.used > 2 * table.last_distinct + headroom)
+        (table.used > 2 * table.last_distinct
+         + min(4 * BATCH_CAP, S // 2))
     table = jax.lax.cond(need, compact_and_flag,
                          lambda t: dataclasses.replace(
                              t, grow_hint=jnp.zeros((), jnp.int32)), table)
@@ -275,6 +283,83 @@ def fold(table: StreamCountTable, batch_arrs, batch_live):
 @jax.jit
 def compact(table: StreamCountTable) -> StreamCountTable:
     return _compact(table)
+
+
+class StagedFolder:
+    """LSM-style staging in front of :func:`fold`.
+
+    A fold re-reads the table's whole live prefix — O(used) — which
+    dominates streaming at high occupancy (measured 43 ms per fold at
+    41.6M live entries on v5e, vs 5.8 ms to merge two 8.4M-entry batch
+    runs with the generic merge kernel).  Staging merges ``2**depth``
+    consecutive batch runs into ONE sorted run first, binary-counter
+    style (each entry passes through ``depth`` cheap O(batch) merges), so
+    the table pays its O(used) re-read once per ``2**depth`` batches.
+    Fold order does not affect results: counts are commutative sums and
+    run coordinates are segmented minima.
+
+    The reference's analogue is the bounded channel batching kmers in
+    front of the shared counter threads
+    (/root/reference/src/base/kmercount.rs:881-974).
+
+    ``depth`` defaults by CURRENT table capacity (re-evaluated each push,
+    so a host-grown table deepens its staging automatically) such that the
+    fold-time drop-safety margins hold (6 * 2**depth * BATCH_CAP <=
+    capacity — see :func:`fold`): 0 below 2^27-entry tables, 2 at 2^28
+    and above.  Mutate ``.table`` directly for host-driven transitions
+    (grow, spill); staged runs carry over unchanged.
+    """
+
+    MAX_DEPTH = 2
+
+    def __init__(self, table: StreamCountTable, depth: int | None = None,
+                 window: int | None = None):
+        if window is None:
+            # same VMEM budget rule as _layout: the generic merge kernel
+            # holds 2*narr P-sized scratch buffers + 2x out staging; at 4+
+            # arrays a 2^17 window overshoots the 16M scoped-vmem limit
+            narr = (3 if table.wide else 2) + (2 if table.coords else 0)
+            window = 1 << 17 if narr <= 3 else 1 << 16
+        self.table = table
+        self._depth = depth
+        self.window = window
+        self._runs: list = []     # [level, arrs, live]; levels strictly
+        #                           decreasing bottom-to-top of the stack
+
+    @property
+    def depth(self) -> int:
+        if self._depth is not None:
+            return self._depth
+        d = 0
+        while (d < self.MAX_DEPTH
+               and 6 * (2 << d) * BATCH_CAP <= self.table.cap):
+            d += 1
+        return d
+
+    def push(self, arrs, live) -> bool:
+        """Stage one batch's sorted entries (from :func:`batch_entries`);
+        returns True when a table fold was issued (the caller's cue to
+        sample ``table.grow_hint``)."""
+        self._runs.append([0, tuple(arrs), live])
+        while (len(self._runs) >= 2
+               and self._runs[-1][0] == self._runs[-2][0]):
+            lvl, b, lb = self._runs.pop()
+            _, a, la = self._runs.pop()
+            m = merge_sorted_u32(a, b, ncmp=2 if self.table.wide else 1,
+                                 window=self.window)
+            self._runs.append([lvl + 1, m, la + lb])
+        if self._runs[0][0] >= self.depth:
+            _, a, live = self._runs.pop()
+            self.table = fold(self.table, a, live)
+            return True
+        return False
+
+    def flush(self) -> StreamCountTable:
+        """Fold any staged remainder (end of stream) and return the table."""
+        while self._runs:
+            _, a, live = self._runs.pop()
+            self.table = fold(self.table, a, live)
+        return self.table
 
 
 def grow(table: StreamCountTable, new_capacity: int) -> StreamCountTable:

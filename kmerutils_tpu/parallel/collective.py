@@ -269,9 +269,9 @@ def sharded_stream_update(table, batch: ReadBatch, k: int, mesh: Mesh,
     (all_to_all), sorted locally, and folded by ONE Pallas merge per chip.
 
     Routing uses the RAW canonical value (DispatchableT, kmercount.rs:
-    382-420) so placement is bias-independent; u64 keys take their +1
-    storage bias only after the exchange.  Returns (updated table,
-    per-device in-transit drop count).
+    382-420) so placement is bias-independent; keys take their +1 storage
+    bias (both widths — count/stream.py's layout contract) only after the
+    exchange.  Returns (updated table, per-device in-transit drop count).
     """
     from ..count import stream
     n_dev = mesh.shape[READS_AXIS]
@@ -315,7 +315,8 @@ def sharded_stream_update(table, batch: ReadBatch, k: int, mesh: Mesh,
             arrs = ((biased >> U64(32)).astype(jnp.uint32),
                     biased.astype(jnp.uint32))
         else:
-            arrs = (jnp.where(is_live, sk.astype(jnp.uint32),
+            # +1 bias (live keys <= 0xFF..FD, so no wrap on live lanes)
+            arrs = (jnp.where(is_live, sk.astype(jnp.uint32) + jnp.uint32(1),
                               jnp.uint32(0xFFFFFFFF)),)
         arrs = arrs + (jnp.where(is_live, jnp.uint32(1),
                                  jnp.uint32(0xFFFFFFFF)),)

@@ -31,6 +31,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# The whole suite runs in ONE process, and every live jitted executable
+# (plus its workspace allocations) holds tens of memory maps; by ~200
+# tests the process crosses the kernel's default vm.max_map_count
+# (65530), after which an mmap failure inside XLA's compiler segfaults
+# the run.  Dropping the executable caches reclaims the maps (measured);
+# the persistent compilation cache makes the forced recompiles cheap.
+_VMA_GUARD_THRESHOLD = 40_000
+
+
+@pytest.fixture(autouse=True)
+def _vma_guard():
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:  # non-Linux: no map accounting, nothing to guard
+        return
+    if n > _VMA_GUARD_THRESHOLD:
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0xC0FFEE)

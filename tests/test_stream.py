@@ -5,6 +5,7 @@ Kernels run in Pallas interpret mode on the CPU mesh (the real-TPU
 execution is exercised by bench.py and the CLI A/B drives)."""
 
 import collections
+import dataclasses
 
 import numpy as np
 import jax
@@ -297,6 +298,52 @@ def test_stream_table_vs_counter(k, coords):
         assert int(cnt) == exp_c
         if coords:
             assert (int(r), int(p)) == exp_coord
+
+
+@pytest.mark.parametrize("k,coords,n_batches", [(16, True, 5), (16, False, 4),
+                                                (21, True, 6), (11, False, 7)])
+def test_staged_folder_vs_counter(k, coords, n_batches):
+    # LSM staging (binary-counter merges of batch runs before table folds)
+    # must be invisible in the results: counts exact, coords the global
+    # first occurrence, regardless of where the stream ends mid-stage
+    wide = k > 16
+    reads_batches = [_random_reads(6, 60, 300) for _ in range(n_batches)]
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(1 << 13, wide=wide, coords=coords),
+        depth=2)
+    offset = 0
+    n_folds = 0
+    for reads in reads_batches:
+        batch = pack_ascii_reads(reads)
+        arrs, live = stream.batch_entries(batch, k, offset, coords=coords)
+        n_folds += folder.push(arrs, live)
+        offset += len(reads)
+    assert n_folds == n_batches // 4          # one table fold per 2^depth
+    keys, counts, rn, ps, dropped = stream.finalize(folder.flush())
+    assert dropped == 0
+
+    all_reads = [r for b in reads_batches for r in b]
+    oracle, first = _oracle_counts(all_reads, k)
+    vals = {kmer_mod.kmer_value_from_str(s): (c, first[s])
+            for s, c in oracle.items()}
+    assert len(keys) == len(vals)
+    assert np.all(keys[:-1] < keys[1:])
+    for key, cnt, r, p in zip(keys, counts, rn, ps):
+        exp_c, exp_coord = vals[int(key)]
+        assert int(cnt) == exp_c
+        if coords:
+            assert (int(r), int(p)) == exp_coord
+
+
+def test_staged_folder_auto_depth():
+    t_small = stream.StreamCountTable.create(1 << 13, wide=False,
+                                             coords=False)
+    assert stream.StagedFolder(t_small).depth == 0
+    # capacity thresholds: 6 * 2^d * BATCH_CAP <= cap
+    assert stream.StagedFolder(
+        dataclasses.replace(t_small, cap=1 << 27)).depth == 1
+    assert stream.StagedFolder(
+        dataclasses.replace(t_small, cap=1 << 28)).depth == 2
 
 
 def test_stream_table_min_count_filter():

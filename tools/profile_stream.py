@@ -76,25 +76,43 @@ def main():
                 lambda r: int(np.asarray(r.used)))
     print(f"fold_empty   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
-    # --- build up occupancy (~60% of capacity as distinct+dup entries) ---
+    # --- build up occupancy (target ~60% of capacity; bounded folds) ---
+    # fill batches are FRESH UNIFORM-RANDOM reads (near-all-distinct kmers)
+    # so occupancy genuinely grows: genome-sampled reads would cap `used`
+    # at the genome's distinct-kmer count after every auto-compaction and
+    # a while-occupancy loop could never exit
     t = table
     target = int(CAP * 0.6)
     off = 0
-    while int(np.asarray(t.used)) < target:
-        a2, l2 = prep(batch, k=K, read_num_offset=off, coords=True)
+    max_folds = -(-target // (N_READS * (RL - K + 1))) + 4
+    for _ in range(max_folds):
+        if int(np.asarray(t.used)) >= target:
+            break
+        codes = rng.integers(0, 4, size=(N_READS, RL), dtype=np.uint8)
+        fb = jax.device_put(pack_codes(codes, np.full(N_READS, RL, np.int32)))
+        a2, l2 = prep(fb, k=K, read_num_offset=off, coords=True)
         t = stream.fold(t, a2, l2)
         off += N_READS
-        # fresh random reads each time so the table actually fills
-        starts = rng.integers(0, genome.size - RL, size=N_READS)
-        codes = np.stack([genome[s : s + RL] for s in starts])
-        batch = jax.device_put(
-            pack_codes(codes, np.full(N_READS, RL, np.int32)))
     used = int(np.asarray(t.used))
     print(f"  [occupancy {used/1e6:.1f} M / {CAP/1e6:.1f} M]")
 
     dt = timeit(lambda: stream.fold(t, arrs, live),
                 lambda r: int(np.asarray(r.used)))
     print(f"fold_60pct   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
+
+    # --- depth-2 staged cycle at the same occupancy (4 preps + 3 stage
+    # merges + 1 table fold), per-batch cost for A/B with prep+fold above ---
+    folder = stream.StagedFolder(t, depth=2)
+
+    def staged_cycle():
+        for _ in range(4):
+            a2, l2 = prep(batch, k=K, read_num_offset=0, coords=True)
+            folder.push(a2, l2)
+        return folder.table
+
+    dt = timeit(staged_cycle, lambda r: int(np.asarray(r.used)), n_iter=5)
+    print(f"staged/batch {dt/4*1e3:8.2f} ms   {nb/(dt/4)/1e6:8.1f} Mb/s   "
+          f"(incl. prep; depth 2)")
 
     # --- compact at the same occupancy ---
     dt = timeit(lambda: aggregate_fold_i32(t.arrs, t.used, kw=1, coords=True,

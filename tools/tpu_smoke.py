@@ -123,6 +123,41 @@ def smoke_stream_count(rng):
                  got == want and gotc == wantc and not dropped)
 
 
+def smoke_staged_folder(rng):
+    """StagedFolder (binary-counter stage merges in front of the table
+    fold) must be result-invisible on real hardware: finalize output of a
+    depth-2 staged drive over 6 batches == the plain per-batch fold drive
+    over the same batches (counts, coords, key set)."""
+    from kmerutils_tpu.base.sequence import pack_ascii_reads
+    from kmerutils_tpu.count import stream
+
+    batches = []
+    for _ in range(6):
+        reads = ["".join(rng.choice(list("ACGT"), size=int(l)))
+                 for l in rng.integers(100, 900, 48)]
+        batches.append(pack_ascii_reads(reads))
+    preps = []
+    off = 0
+    for b in batches:
+        preps.append(stream.batch_entries(b, 16, off, coords=True))
+        off += 48
+
+    plain = stream.StreamCountTable.create(1 << 17, wide=False, coords=True)
+    for arrs, live in preps:
+        plain = stream.fold(plain, arrs, live)
+    want = stream.finalize(plain)
+
+    folder = stream.StagedFolder(
+        stream.StreamCountTable.create(1 << 17, wide=False, coords=True),
+        depth=2)
+    for arrs, live in preps:
+        folder.push(arrs, live)
+    got = stream.finalize(folder.flush())
+    ok = all(np.array_equal(w, g) for w, g in zip(want[:4], got[:4])) \
+        and want[4] == got[4]
+    return check("staged folder (depth 2) == plain folds", ok)
+
+
 def main():
     print("backend:", jax.default_backend(), jax.devices())
     rng = np.random.default_rng(17)
@@ -132,6 +167,7 @@ def main():
     ok &= smoke_merge(rng)
     ok &= smoke_aggregate(rng)
     ok &= smoke_stream_count(rng)
+    ok &= smoke_staged_folder(rng)
     print(f"total {time.time() - t0:.1f}s")
     return 0 if ok else 1
 
