@@ -28,7 +28,8 @@ def main():
     st = fastx.IngestStats()
     offset = 0
     for batch, idx in fastx.read_batches_overlapped(path, stats=st,
-                                                    bucket=False):
+                                                    bucket=False,
+                                                    to_device=True):
         arrs, live = prep(batch, k=k, read_num_offset=offset, coords=False)
         folder.push(arrs, live)
         offset += len(idx)

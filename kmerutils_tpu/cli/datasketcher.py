@@ -131,7 +131,8 @@ def main(argv=None):
     if args.block_size:
         per_seq = []
         for batch, idx in fastx.read_batches_overlapped(
-                args.filename, batch_reads=pack, stats=st, bucket=False):
+                args.filename, batch_reads=pack, stats=st, bucket=False,
+                to_device=True):
             res = blockmod.block_sketch(batch, args.kmer_size,
                                         args.sketch_size, args.block_size)
             per_seq.extend(blockmod.flatten_for_dump(res, idx))
@@ -153,7 +154,7 @@ def main(argv=None):
     block_idx: list = []
     prev = None
     for batch, idx in fastx.read_batches_overlapped(
-            args.filename, batch_reads=pack, stats=st):
+            args.filename, batch_reads=pack, stats=st, to_device=True):
         cur = (sk.sketch_batch(batch), np.asarray(idx))
         if prev is not None:
             blocks.append(np.asarray(prev[0])[: len(prev[1])])

@@ -120,7 +120,7 @@ def main(argv=None):
         pending: list = []   # backpressure: bound the async dispatch depth
         for batch, idx in fastx.read_batches_overlapped(
                 args.filename, batch_reads=args.batch_reads,
-                stats=st, bucket=False):
+                stats=st, bucket=False, to_device=True):
             dist.record_batch(batch)
             arrs, live = prep(batch, k=k, read_num_offset=offset,
                               coords=coords)

@@ -261,7 +261,8 @@ def read_batches(path: str, batch_reads: int = 10000,
     yield from flush()
 
 
-def read_batches_overlapped(path: str, queue_depth: int = 3, **kw):
+def read_batches_overlapped(path: str, queue_depth: int = 3,
+                            to_device: bool = False, **kw):
     """read_batches through a bounded producer thread, so host parsing and
     batch assembly overlap with device compute (the role of the reference's
     producer->consumer channel pipeline, kmercount.rs:881-974: one
@@ -271,6 +272,13 @@ def read_batches_overlapped(path: str, queue_depth: int = 3, **kw):
     calls, so the producer genuinely runs while jax dispatches.  A stats=
     kwarg is filled by the producer BEFORE the stream ends, so reading it
     after exhaustion is safe.
+
+    to_device=True additionally `jax.device_put`s each batch in the
+    producer, so the host->device transfer (async) starts as soon as a
+    batch is assembled instead of when the consumer's next jit call needs
+    it — on a latency-bound link this roughly doubles end-to-end
+    throughput (measured 30 -> 54 Mb/s through the tunnel).  queue_depth
+    then also bounds in-flight device batch buffers.
     """
     import queue as _queue
     import threading
@@ -280,7 +288,11 @@ def read_batches_overlapped(path: str, queue_depth: int = 3, **kw):
 
     def worker():
         try:
+            if to_device:
+                import jax
             for item in read_batches(path, **kw):
+                if to_device:
+                    item = (jax.device_put(item[0]),) + tuple(item[1:])
                 q.put(item)
             q.put(_END)
         except BaseException as e:  # surface parse errors in the consumer
