@@ -17,6 +17,15 @@ Slots are *unpacked* (one per lane) rather than bit-packed: scatter-OR is not
 in XLA's scatter op set, scatter-max is — and HBM capacity, not bandwidth, is
 what bounds filter size here.
 
+Measured cost (v5e, 8M keys x 4 probes, 2^27..2^30 slots): ~443 ms/insert
+(~19 Mkeys/s) — TPU scatter serializes, and pre-sorting/deduping the probe
+indices does NOT help (the 32M-element sort costs as much as the scatter;
+measured 507-515 ms, `unique_indices` included).  That is ~20x slower than
+the exact Pallas merge-fold path (count/stream.py), which is why these
+filters are NOT on any hot path: they exist for the reference's
+memory-bounded approximate regime (CBF semantics, kmercount.rs:70-123)
+where one insert per BATCH of reads amortizes fine, not per-kmer rates.
+
 The reference's cuckoo "seen exactly once" semantics (insert_kmer's
 delete-and-promote, kmercount.rs:241-267) are realized exactly by the sort
 based counter in count/exact.py; these filters cover the streaming /

@@ -144,13 +144,19 @@ def sharded_setsketch_collection(items, valid, params, mesh: Mesh, seed: int = 0
 
 def sharded_bloom_insert(slots, keys, nb_hash: int, log2_slots: int, mesh: Mesh):
     """Insert sharded keys into a replicated Bloom slot tensor: local scatter
-    then pmax union (kmercount.rs:810-814's mergeability)."""
+    then pmax union (kmercount.rs:810-814's mergeability).
+
+    The local scatter costs ~443 ms per 8M keys on a v5e (see
+    count/filters.py — sort-based alternatives measured no faster), so this
+    is a per-batch capability API, not the per-kmer hot path; exact counting
+    streams through count/stream.py + parallel sharded_stream_* instead."""
     from ..count import filters
 
     def step(sl, ks):
         idx = filters.probe_indices(ks.ravel(), nb_hash, log2_slots)
         mask = (ks.ravel() != SENTINEL64)[:, None]
         val = jnp.where(mask, jnp.uint8(1), jnp.uint8(0))
+        val = jnp.broadcast_to(val, idx.shape)  # one value per PROBE
         idx = jnp.where(mask, idx, 0)
         sl = sl.at[idx.ravel()].max(val.ravel())
         return jax.lax.pmax(sl, READS_AXIS)

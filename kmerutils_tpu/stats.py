@@ -33,9 +33,12 @@ from .base import alphabet
 def _batch_base_counts(words, lengths):
     """One fused device program per batch shape: unpack + masked one-hot
     base counts.  Dispatching this eagerly op-by-op costs seconds per batch
-    on a remote-attached device; jitted it is one round trip."""
+    on a remote-attached device; jitted it is one round trip.  Lengths ride
+    along as a 5th column so the host needs ONE fetch per batch, not two."""
     batch = ReadBatch(words=words, lengths=lengths)
-    return alphabet.base_counts(batch.codes(), batch.valid_mask())
+    counts = alphabet.base_counts(batch.codes(), batch.valid_mask())
+    return jnp.concatenate(
+        [counts, lengths[:, None].astype(counts.dtype)], axis=1)
 
 
 @dataclasses.dataclass
@@ -46,6 +49,11 @@ class ReadBaseDistribution:
     histo_out: int = 0
     non_acgt: int = 0
     n_reads: int = 0
+    # device results not yet folded into the host accumulators: record_batch
+    # consumes with a one-batch LAG so the host fetch reads an already-
+    # finished result instead of draining the device pipeline behind the
+    # current batch (in-order execution would stall every queued fold)
+    _pending: list = dataclasses.field(default_factory=list, repr=False)
 
     @staticmethod
     def new(readmaxsize: int = 10_000_000) -> "ReadBaseDistribution":
@@ -56,8 +64,20 @@ class ReadBaseDistribution:
 
     # ------------------------------------------------------------------
     def record_batch(self, batch: ReadBatch) -> None:
-        counts = np.asarray(_batch_base_counts(batch.words, batch.lengths))
-        lengths = np.asarray(batch.lengths)
+        self._pending.append(_batch_base_counts(batch.words, batch.lengths))
+        if len(self._pending) > 1:
+            self._consume(self._pending.pop(0))
+
+    def finish(self) -> "ReadBaseDistribution":
+        """Drain pending device results; call after the last record_batch
+        (the dumps and normalized_distribution do so themselves)."""
+        while self._pending:
+            self._consume(self._pending.pop(0))
+        return self
+
+    def _consume(self, dev) -> None:
+        fetched = np.asarray(dev)
+        counts, lengths = fetched[:, :4], fetched[:, 4]
         real = lengths > 0            # zero-length rows are batch padding
         counts, lengths = counts[real], lengths[real]
         if lengths.size == 0:
@@ -81,6 +101,8 @@ class ReadBaseDistribution:
             np.add.at(self.acgt_distribution[:, j], pct[:, j], 1.0)
 
     def merge(self, other: "ReadBaseDistribution") -> None:
+        self.finish()
+        other.finish()
         self.acgt_distribution += other.acgt_distribution
         self.histo_out += other.histo_out
         self.non_acgt += other.non_acgt
@@ -95,6 +117,7 @@ class ReadBaseDistribution:
     def normalized_distribution(self) -> np.ndarray:
         """Fractions-of-reads matrix (the end state after get_base_count_par's
         normalization by #reads, statutils.rs:276-347)."""
+        self.finish()
         if self.n_reads == 0:
             return self.acgt_distribution.copy()
         return self.acgt_distribution / self.n_reads
@@ -108,6 +131,7 @@ class ReadBaseDistribution:
     def ascii_dump_readlen_distribution(self, name: str,
                                         nb_points: int = 1000) -> None:
         """Quantile-sampled (length, nb_reads) points (statutils.rs:118-190)."""
+        self.finish()
         total = int(self.read_lengths.sum())
         if total == 0:
             raise ValueError("empty read-length histogram")
@@ -138,4 +162,4 @@ def get_base_count(batches, readmaxsize: int = 10_000_000) -> ReadBaseDistributi
     dist = ReadBaseDistribution.new(readmaxsize)
     for b in batches:
         dist.record_batch(b)
-    return dist
+    return dist.finish()

@@ -198,3 +198,38 @@ class TestShardedStream:
                     first.setdefault(v, (i, p))
             for v, r_, p_ in zip(keys.tolist(), rn.tolist(), ps.tolist()):
                 assert first[v] == (r_, p_), v
+
+
+class TestShardedBloom:
+    def test_matches_single_device_at_size(self, rng, mesh8):
+        """sharded_bloom_insert at a realistic-ish size (1M keys over the
+        8-device mesh): the pmax-unioned replicated slots must be
+        IDENTICAL to a single-device insert of the same keys (probe
+        indices are deterministic; max-union is exact, the mergeability of
+        kmercount.rs:810-814), every inserted key must test positive, and
+        the fill fraction must match the Bloom expectation (balance)."""
+        from kmerutils_tpu.count import filters
+        from kmerutils_tpu.count.exact import SENTINEL64
+
+        n, log2s, nh = 1 << 20, 24, 4
+        keys = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        # pad one sentinel per shard tail (the masked-lane path)
+        keys_sh = keys.reshape(8, -1)
+        keys_sh = np.concatenate(
+            [keys_sh, np.full((8, 1), SENTINEL64, np.uint64)], axis=1)
+        slots = jnp.zeros(1 << log2s, jnp.uint8)
+        out = collective.sharded_bloom_insert(
+            slots, jnp.asarray(keys_sh.ravel()), nh, log2s, mesh8)
+
+        ref = filters.BloomFilter.create(log2s, nh).insert(
+            jnp.asarray(keys))
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(ref.slots))
+
+        bf = filters.BloomFilter(slots=out, nb_hash=nh, log2_slots=log2s)
+        probe = jnp.asarray(keys[:: max(n // 4096, 1)])
+        assert bool(np.asarray(bf.contains(probe)).all())
+        # expected fill: 1 - (1 - 1/S)^(n*nh)
+        exp = 1.0 - (1.0 - 1.0 / (1 << log2s)) ** (n * nh)
+        got = float(np.asarray(out, np.float64).mean())
+        assert abs(got - exp) < 0.01, (got, exp)
