@@ -45,6 +45,15 @@ if os.environ.get("KMERUTILS_NO_COMPCACHE") != "1":
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # CRITICAL for cache hits on the Pallas programs: full tracebacks
+        # in MLIR locations leak the CALLER's file:line into the Mosaic
+        # custom-call payload, which `strip-debuginfo` cannot reach — so
+        # the cache key changed with every distinct call site and the big
+        # kernels (merge folds: 4-7 s compile EACH through the remote
+        # compiler) recompiled in every new script/process.  With op-site-
+        # only locations the keys are stable (measured: 12-batch stream
+        # startup 125 s -> 5.4 s from a shifted call site).
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # cache is an optimization, never a requirement
         pass
 

@@ -143,6 +143,10 @@ def main(argv=None):
                     if capacity < cap_max:
                         capacity = min(capacity * 8, cap_max)
                         folder.table = stream.grow(folder.table, capacity)
+                        # hints still queued were computed against the OLD
+                        # capacity; acting on them would ladder straight to
+                        # cap_max / a spurious spill
+                        pending.clear()
                     elif not getattr(args, "no_spill", False):
                         # growth ladder topped out: ship the table's
                         # aggregated runs to a disk segment and restart

@@ -410,3 +410,33 @@ def test_grow_mid_stream():
     for key, cnt, r, p in zip(keys, counts, rn, ps):
         exp_c, exp_coord = vals[int(key)]
         assert int(cnt) == exp_c and (int(r), int(p)) == exp_coord
+
+
+@pytest.mark.parametrize("k,n_reads,rl", [
+    (8, 40, 400),    # k=8: 4^8 domain, heavy coverage -> tiny gaps ->
+    #                  finalize ships u16 DELTAS (cumsum reconstruction)
+    (16, 2, 40),     # sparse over 2^32 -> gaps overflow u16 -> raw keys
+])
+def test_finalize_delta_and_raw_paths(k, n_reads, rl):
+    """The adaptive key transfer (u16 deltas vs raw) must be invisible:
+    both densities reconstruct exactly against the Counter oracle."""
+    reads = _random_reads(n_reads, rl, rl + 1)
+    batch = pack_ascii_reads(reads)
+    table = stream.StreamCountTable.create(1 << 15, wide=False, coords=True)
+    arrs, live = stream.batch_entries(batch, k, 0, coords=True)
+    table = stream.fold(table, arrs, live)
+    keys, counts, rn, ps, dropped = stream.finalize(table)
+    assert dropped == 0
+    oracle, first = _oracle_counts(reads, k)
+    vals = {kmer_mod.kmer_value_from_str(s): (c, first[s])
+            for s, c in oracle.items()}
+    assert len(keys) == len(vals)
+    assert keys.dtype == np.uint32
+    assert np.all(keys[:-1] < keys[1:])
+    for key, cnt, r, p in zip(keys, counts, rn, ps):
+        exp_c, exp_coord = vals[int(key)]
+        assert int(cnt) == exp_c and (int(r), int(p)) == exp_coord
+    if k == 8:    # confirm this parametrization really is the delta regime
+        assert int(np.max(np.diff(keys))) < (1 << 16)
+    else:
+        assert int(np.max(np.diff(keys))) >= (1 << 16)
