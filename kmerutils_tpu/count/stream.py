@@ -228,11 +228,7 @@ def _compact(table: StreamCountTable) -> StreamCountTable:
                                last_distinct=n_live)
 
 
-@jax.jit
-def fold(table: StreamCountTable, batch_arrs, batch_live):
-    """Merge one batch's RAW sorted entries into the table (one Pallas
-    merge); auto-compacts on device when occupancy approaches capacity, so
-    a stream of folds never needs host synchronization."""
+def _fold_body(table: StreamCountTable, batch_arrs, batch_live):
     S = table.cap
     ncmp = 2 if table.wide else 1
     b_in = _batch_to_kernel(batch_arrs, table.wide, table.window)
@@ -278,6 +274,39 @@ def fold(table: StreamCountTable, batch_arrs, batch_live):
                          lambda t: dataclasses.replace(
                              t, grow_hint=jnp.zeros((), jnp.int32)), table)
     return do_fold(table)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("wide", "coords", "cap", "window"))
+def _fold_donated(arrs, used, n_dropped, last_distinct, batch_arrs,
+                  batch_live, *, wide, coords, cap, window):
+    t = StreamCountTable(arrs=arrs, used=used, n_dropped=n_dropped,
+                         last_distinct=last_distinct, wide=wide,
+                         coords=coords, cap=cap, window=window)
+    out = _fold_body(t, batch_arrs, batch_live)
+    return out.arrs, out.used, out.n_dropped, out.grow_hint, out.last_distinct
+
+
+def fold(table: StreamCountTable, batch_arrs, batch_live):
+    """Merge one batch's RAW sorted entries into the table (one Pallas
+    merge); auto-compacts on device when occupancy approaches capacity, so
+    a stream of folds never needs host synchronization.
+
+    The table's entry arrays are DONATED: the program's outputs alias the
+    2-4 capacity-sized input buffers, so a stream of folds runs in ~one
+    table's HBM instead of allocating a fresh table per fold (at 2^28
+    that is 1-2 GB/fold of churn — enough to stall dispatch on allocator
+    waits with a few folds in flight).  Do not reuse a table object after
+    folding it; StagedFolder/CLI replace their reference every fold.
+    Scalar leaves (used/grow_hint/...) are NOT donated — callers may keep
+    them (the CLI's lag-1 hint fetches) after the next fold is queued.
+    """
+    arrs, used, nd, gh, ld = _fold_donated(
+        tuple(table.arrs), table.used, table.n_dropped, table.last_distinct,
+        batch_arrs, batch_live, wide=table.wide, coords=table.coords,
+        cap=table.cap, window=table.window)
+    return dataclasses.replace(table, arrs=arrs, used=used, n_dropped=nd,
+                               grow_hint=gh, last_distinct=ld)
 
 
 @jax.jit
