@@ -414,6 +414,51 @@ def grow(table: StreamCountTable, new_capacity: int) -> StreamCountTable:
         grow_hint=jnp.zeros((), jnp.int32))
 
 
+_DELTA_B = 1024   # anchor spacing for finalize's delta-encoded key transfer
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _gather_blocks(key_out, ids, B):
+    idx = (ids[:, None].astype(jnp.int64) * B
+           + jnp.arange(B, dtype=jnp.int64)[None, :])
+    return jnp.take(key_out, idx, mode="clip")
+
+
+def _decode_delta_keys(key_dev, d16, anchors, info, wide: bool, n: int):
+    """Reconstruct keys from (u16 gaps, raw block anchors); see finalize.
+    All arithmetic wraps in the key dtype — exactly the mod arithmetic the
+    mod-2^16 gap truncation requires."""
+    B = _DELTA_B
+    W = np.uint64 if wide else np.uint32
+    n_blocks = -(-n // B)
+    g = np.cumsum(d16, dtype=W)
+    last_key = W(info[3])
+    anchors = anchors.astype(W, copy=False)
+    if n_blocks * B > n:        # tail block is partial: its anchor slot
+        anchors = anchors.copy()     # holds garbage — the true last key
+        anchors[-1] = last_key       # rides in `info`
+    ge = g[B - 1::B]            # reconstructed full-block ends
+    corr = np.zeros(n_blocks, W)
+    corr[1:] = anchors[:n_blocks - 1] - ge[:n_blocks - 1]
+    keys = g + np.repeat(corr, B)[:n]
+    # self-detection: a block containing an oversized gap lost a positive
+    # multiple of 2^16 (< key modulus), so its end CANNOT match the anchor
+    full = ge.shape[0]
+    bad = np.flatnonzero(keys[B - 1::B] != anchors[:full])
+    if n_blocks > full and keys[n - 1] != last_key:
+        bad = np.append(bad, n_blocks - 1)
+    if bad.size:
+        K = 1 << max(4, int(bad.size - 1).bit_length())  # few program shapes
+        ids = np.zeros(K, np.int32)
+        ids[: bad.size] = bad
+        patch = np.asarray(_gather_blocks(key_dev, jnp.asarray(ids), B))
+        for r in range(bad.size):
+            lo = int(bad[r]) * B
+            hi = min(lo + B, n)
+            keys[lo:hi] = patch[r, : hi - lo]
+    return keys
+
+
 def finalize(table: StreamCountTable, min_count: int = 1,
              max_count: int | None = None, count_clamp: int | None = None):
     """Aggregate + compact + filter on device, then ONE host transfer.
@@ -425,15 +470,22 @@ def finalize(table: StreamCountTable, min_count: int = 1,
     formats saturate anyway (kmercount.rs counter_size), and the
     device->host link is the finalize bottleneck.
 
-    Keys ride the link DELTA-ENCODED when they can: they are ascending and
-    unique, so at multi-M density the gaps are tiny (mean 84 at 51M
-    records over u32) — when the largest gap fits u16 the device ships
-    u16 deltas (half/quarter the bytes) and the host reconstructs with one
-    exact cumsum (total fits the key dtype by construction).  Sparse
-    results fall back to raw keys; the decision scalar rides the same
-    small fetch as ``n``.
+    Keys ride the link DELTA-ENCODED when the encoding pays: they are
+    ascending and unique, so at multi-M density almost every gap is tiny
+    (mean 84 at 51M records over u32) — BUT the canonical key space has
+    structural holes (measured gaps up to ~343k even at 51M records), so
+    a global "fits u16" test never fires.  Instead the device ships
+    mod-2^16 gaps plus exact RAW ANCHORS every ``_DELTA_B`` keys; the
+    host reconstructs each block with one wrapping cumsum rebased on its
+    anchor, and any block containing an oversized gap is SELF-DETECTED
+    (its reconstructed end cannot match the next anchor: the lost amount
+    is a nonzero multiple of 2^16 below the dtype modulus) and patched
+    with one device gather.  Sparse results (many oversized gaps) fall
+    back to raw keys; the decision count rides the same small fetch as
+    ``n``.
     """
     kw = 2 if table.wide else 1
+    B = _DELTA_B
 
     @functools.partial(jax.jit, static_argnames=("lo", "hi", "clamp"))
     def run(t, lo, hi, clamp):
@@ -456,30 +508,40 @@ def finalize(table: StreamCountTable, min_count: int = 1,
                        | unflip[1]) - jnp.uint64(1)
         else:
             key_out = unflip[0] - U32(1)
-        # gaps between consecutive live keys (delta[0] = keys[0]); values
-        # past n are masked out of the max
+        # gaps between consecutive live keys (delta[0] = keys[0])
         delta = jnp.concatenate([key_out[:1], key_out[1:] - key_out[:-1]])
         live = jnp.arange(delta.shape[0], dtype=jnp.int64) < n
-        max_delta = jnp.max(jnp.where(live, delta, 0))
-        # only "fits u16?" matters — clamp BEFORE the i64 cast (a u64 gap
-        # above 2^63 would wrap negative and wrongly select delta mode)
-        max_delta = jnp.minimum(max_delta, delta.dtype.type(1 << 16))
+        n_big = jnp.sum((live & (delta >= delta.dtype.type(1 << 16)))
+                        .astype(jnp.int64))
         d16 = delta.astype(jnp.uint16)
-        info = jnp.stack([n.astype(I64), max_delta.astype(I64),
-                          t.n_dropped.astype(I64)])
-        return (key_out, d16) + outs[kw:], info
+        anchors = key_out[B - 1::B]
+        last_key = jnp.take(key_out, jnp.maximum(n - 1, 0), mode="clip")
+        info = jnp.stack([n.astype(jnp.uint64), n_big.astype(jnp.uint64),
+                          t.n_dropped.astype(jnp.uint64),
+                          last_key.astype(jnp.uint64)])
+        return (key_out, d16, anchors) + outs[kw:], info
 
     outs, info_dev = run(table, min_count, max_count, count_clamp)
     info = np.asarray(info_dev)
-    n, max_delta, dropped = int(info[0]), int(info[1]), int(info[2])
-    if max_delta < (1 << 16):
-        # cumsum in the final dtype is exact: the true total is the last
-        # key, which fits by construction
-        d = np.asarray(outs[1][:n])
-        keys = np.cumsum(d, dtype=np.uint64 if table.wide else np.uint32)
+    n, n_big, dropped = int(info[0]), int(info[1]), int(info[2])
+    # delta mode pays when patch traffic (n_big bad blocks x B raw keys)
+    # stays well under the raw-key savings
+    delta_mode = n > 0 and n_big * B * 8 < n
+    key_slices = ([outs[1][:n], outs[2][: -(-n // B)]] if delta_mode
+                  else [outs[0][:n]])
+    rest = [o[:n] for o in outs[3:]]
+    for s in key_slices + rest:
+        # queue EVERY transfer up front: the link is the bottleneck, and
+        # the host-side key decode below rides under the counts/coords
+        # transfers instead of serializing after them
+        s.copy_to_host_async()
+    if delta_mode:
+        keys = _decode_delta_keys(outs[0], np.asarray(key_slices[0]),
+                                  np.asarray(key_slices[1]), info,
+                                  table.wide, n)
     else:
-        keys = np.asarray(outs[0][:n])
-    host = [np.asarray(o[:n]) for o in outs[2:]]
+        keys = np.asarray(key_slices[0])
+    host = [np.asarray(o) for o in rest]
     host.insert(0, keys)  # keep positional layout below
     counts = host[1] if count_clamp is not None else host[1].view(np.uint32)
     if table.coords:

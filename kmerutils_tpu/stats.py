@@ -29,16 +29,39 @@ from .base.sequence import ReadBatch
 from .base import alphabet
 
 
-@jax.jit
-def _batch_base_counts(words, lengths):
-    """One fused device program per batch shape: unpack + masked one-hot
-    base counts.  Dispatching this eagerly op-by-op costs seconds per batch
-    on a remote-attached device; jitted it is one round trip.  Lengths ride
-    along as a 5th column so the host needs ONE fetch per batch, not two."""
+# device-resident accumulator bins: reads at or beyond _HISTO_DEV bases
+# clamp into the top length bin (the reference's hdrhistogram is itself
+# precision-limited up there, statutils.rs:44-49); reads above upper_histo
+# additionally count into histo_out, per the reference contract
+_HISTO_DEV = 1 << 20
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("upper_histo",))
+def _accum_batch(state, words, lengths, *, upper_histo: int):
+    """Fold one batch into the device accumulator — NO host traffic.
+    state = (acgt[101,4] i64, len_histo[_HISTO_DEV] i32, histo_out i64,
+    n_reads i64)."""
+    acgt, histo, histo_out, n_reads = state
     batch = ReadBatch(words=words, lengths=lengths)
     counts = alphabet.base_counts(batch.codes(), batch.valid_mask())
-    return jnp.concatenate(
-        [counts, lengths[:, None].astype(counts.dtype)], axis=1)
+    real = lengths > 0            # zero-length rows are batch padding
+    # per-percent occupancy; one-hot reduction (n x 101 x 4 compares — no
+    # scatter on this path)
+    pct = jnp.rint(100.0 * counts / jnp.maximum(lengths, 1)[:, None])
+    pct = jnp.clip(pct, 0, 100).astype(jnp.int32)
+    onehot = (pct[:, None, :] == jnp.arange(101, dtype=jnp.int32)
+              [None, :, None]) & real[:, None, None]
+    acgt = acgt + onehot.sum(axis=0, dtype=jnp.int64)
+    # length histogram: tiny scatter (one update per read)
+    over = lengths > upper_histo
+    keep = real & ~over
+    bins = jnp.clip(lengths, 0, _HISTO_DEV - 1)
+    bins = jnp.where(keep, bins, 0)
+    histo = histo.at[bins].add(keep.astype(jnp.int32), mode="drop")
+    return (acgt, histo,
+            histo_out + over.sum(dtype=jnp.int64),
+            n_reads + real.sum(dtype=jnp.int64))
 
 
 @dataclasses.dataclass
@@ -49,11 +72,11 @@ class ReadBaseDistribution:
     histo_out: int = 0
     non_acgt: int = 0
     n_reads: int = 0
-    # device results not yet folded into the host accumulators: record_batch
-    # consumes with a one-batch LAG so the host fetch reads an already-
-    # finished result instead of draining the device pipeline behind the
-    # current batch (in-order execution would stall every queued fold)
-    _pending: list = dataclasses.field(default_factory=list, repr=False)
+    # device-resident accumulator (see _accum_batch): record_batch costs
+    # ZERO host traffic — one small fetch in finish() replaces a per-batch
+    # round trip that serialized the in-order device pipeline (measured
+    # ~65 ms/batch through the tunnel)
+    _dev: tuple | None = dataclasses.field(default=None, repr=False)
 
     @staticmethod
     def new(readmaxsize: int = 10_000_000) -> "ReadBaseDistribution":
@@ -64,41 +87,33 @@ class ReadBaseDistribution:
 
     # ------------------------------------------------------------------
     def record_batch(self, batch: ReadBatch) -> None:
-        self._pending.append(_batch_base_counts(batch.words, batch.lengths))
-        if len(self._pending) > 1:
-            self._consume(self._pending.pop(0))
+        if self._dev is None:
+            self._dev = (jnp.zeros((101, 4), jnp.int64),
+                         jnp.zeros(_HISTO_DEV, jnp.int32),
+                         jnp.zeros((), jnp.int64),
+                         jnp.zeros((), jnp.int64))
+        self._dev = _accum_batch(self._dev, batch.words, batch.lengths,
+                                 upper_histo=self.upper_histo)
 
     def finish(self) -> "ReadBaseDistribution":
-        """Drain pending device results; call after the last record_batch
-        (the dumps and normalized_distribution do so themselves)."""
-        while self._pending:
-            self._consume(self._pending.pop(0))
+        """Fold the device accumulator into the host fields; call after
+        the last record_batch (the dumps and normalized_distribution do
+        so themselves)."""
+        if self._dev is None:
+            return self
+        acgt, histo, hout, nr = (np.asarray(x) for x in self._dev)
+        self._dev = None
+        self.acgt_distribution += acgt.astype(np.float64)
+        nz = np.flatnonzero(histo)
+        if nz.size:
+            L = int(nz[-1]) + 1
+            grown = np.zeros(max(L, self.read_lengths.size), np.int64)
+            grown[: self.read_lengths.size] += self.read_lengths
+            grown[:L] += histo[:L]
+            self.read_lengths = grown
+        self.histo_out += int(hout)
+        self.n_reads += int(nr)
         return self
-
-    def _consume(self, dev) -> None:
-        fetched = np.asarray(dev)
-        counts, lengths = fetched[:, :4], fetched[:, 4]
-        real = lengths > 0            # zero-length rows are batch padding
-        counts, lengths = counts[real], lengths[real]
-        if lengths.size == 0:
-            return
-        self.n_reads += len(lengths)
-        # length histogram
-        lmax = int(lengths.max(initial=0))
-        over = lengths > self.upper_histo
-        self.histo_out += int(over.sum())
-        keep = lengths[~over]
-        if keep.size:
-            if self.read_lengths.size <= lmax:
-                grown = np.zeros(lmax + 1, dtype=np.int64)
-                grown[: self.read_lengths.size] = self.read_lengths
-                self.read_lengths = grown
-            np.add.at(self.read_lengths, keep, 1)
-        # per-percent base occupancy (statutils.rs:245-250)
-        pct = np.rint(100.0 * counts / np.maximum(lengths, 1)[:, None]).astype(int)
-        pct = np.clip(pct, 0, 100)
-        for j in range(4):
-            np.add.at(self.acgt_distribution[:, j], pct[:, j], 1.0)
 
     def merge(self, other: "ReadBaseDistribution") -> None:
         self.finish()
