@@ -7,10 +7,14 @@ Prints ONE JSON line:
 
 vs_baseline is the speedup over the reference's derived 85.9 Mbases/s.
 
-The measured step is the full on-device pipeline: packed words -> canonical
-8-mers -> wang hash -> per-read multiplicities -> ProbMinHash signatures
-(200 slots) — steady state (post-compile), on whatever backend JAX selects
-(the real TPU chip under the driver).
+The headline metric is the full on-device pipeline: packed words ->
+canonical 8-mers -> wang hash -> per-read multiplicities -> ProbMinHash
+signatures (200 slots), steady state.  `extra` carries the end-to-end
+on-disk pipelines (uniform-length and ONT length-lognormal fixtures, each
+for sketching and whole-file counting) WITH per-phase breakdowns
+{ingest_wait, dispatch, sync, finalize} and the measured host<->device
+link bandwidth, so infra drift on the tunneled backend (5-10x between
+sessions) is separable from pipeline waste in the driver record.
 """
 
 import json
@@ -33,6 +37,8 @@ M = 200
 READ_LEN = 6000       # FAB49164 mean read length ~5.9 kb
 N_READS = 1024       # per batch
 HEAVY_CAP = 1024  # legacy knob (kept for interface stability; kernel is exact)
+
+_LUT = np.frombuffer(b"ACGT", np.uint8)
 
 
 def make_batch(rng):
@@ -75,13 +81,10 @@ def bench_sketch(rng):
 
 def bench_stream_count(rng):
     """Device-side streaming counting rate (kmers/s and Mbases/s) through
-    the Pallas merge-fold table — VERDICT #2's first missing metric.
-    Synthetic genome-with-coverage batches (so folds see realistic
-    duplicate mixes), batch shape = the CLI's quantized 1024x8192, table
-    in the CLI's `--count` large-file configuration (no coords, 2^28
-    capacity => LSM staging depth 2; round-1/early-round-2 versions of
-    this metric used coords=True at 2^26, which is ~2x slower per fold —
-    the `--unique` flavor)."""
+    the Pallas merge-fold table.  Synthetic genome-with-coverage batches
+    (so folds see realistic duplicate mixes), batch shape = the CLI's
+    quantized 1024x8192, table in the CLI's `--count` large-file
+    configuration (no coords, 2^28 capacity => LSM staging depth 2)."""
     from kmerutils_tpu.count import stream
 
     K = 16
@@ -124,93 +127,148 @@ def bench_stream_count(rng):
     return kmers / dt / 1e6, n_reads * rl / dt / 1e6
 
 
-def bench_e2e_file_sketch(rng):
-    """End-to-end on-disk FASTQ -> per-read signatures, host ingest
-    overlapped with device compute (VERDICT #2's second missing metric).
-    A ~190 MB FASTQ is generated once and cached in /tmp."""
+# ---------------------------------------------------------------------------
+# fixtures (generated once, cached in /tmp)
+# ---------------------------------------------------------------------------
+
+def _write_fastq(path, seqs):
+    """seqs: iterable of bytes rows; buffered vectorized-ish writer."""
+    with open(path, "wb") as f:
+        parts = []
+        for i, s in enumerate(seqs):
+            parts += [b"@r%d\n" % i, s, b"\n+\n", b"I" * len(s), b"\n"]
+            if len(parts) >= 4096:
+                f.write(b"".join(parts))
+                parts = []
+        f.write(b"".join(parts))
+
+
+def _fixture(path, make, min_bytes):
     import os
+    if not (os.path.exists(path) and os.path.getsize(path) >= min_bytes):
+        make()
+    return path
+
+
+def fixture_uniform_sketch(rng):
+    """~190 MB FASTQ of random uniform 6 kb reads (sketch e2e)."""
+    n_reads, rl = 16000, 6000
+
+    def make():
+        bases = _LUT[rng.integers(0, 4, size=(n_reads, rl), dtype=np.uint8)]
+        _write_fastq("/tmp/kmerutils_bench_e2e.fastq",
+                     (bases[i].tobytes() for i in range(n_reads)))
+
+    return _fixture("/tmp/kmerutils_bench_e2e.fastq", make, n_reads * rl * 2)
+
+
+def fixture_uniform_count(rng):
+    """~190 MB coverage FASTQ: 6 kb reads sampled from a 2 Mbase genome
+    (~48x coverage — a small-genome ONT counting run; the dump stays ~2M
+    distinct kmers so the result down-transfer is realistic relative to
+    the input)."""
+    n_reads, rl = 16000, 6000
+
+    def make():
+        genome = rng.integers(0, 4, size=2 << 20, dtype=np.uint8)
+        starts = rng.integers(0, genome.size - rl, size=n_reads)
+        _write_fastq("/tmp/kmerutils_bench_cov48.fastq",
+                     (_LUT[genome[s : s + rl]].tobytes() for s in starts))
+
+    return _fixture("/tmp/kmerutils_bench_cov48.fastq", make,
+                    n_reads * rl * 2)
+
+
+def fixture_ont(rng):
+    """~190 MB ONT-realistic FASTQ: length-lognormal reads (median ~5 kb,
+    heavy tail, clipped to [500, 16000]) sampled from a 2 Mbase genome —
+    exercises the bucketing/padding path (io/fastx bucket=True) the
+    uniform fixtures cannot."""
+    total = 96_000_000
+
+    def make():
+        genome = rng.integers(0, 4, size=2 << 20, dtype=np.uint8)
+        lens = []
+        acc = 0
+        while acc < total:
+            block = np.clip(rng.lognormal(np.log(5000), 0.85, size=4096),
+                            500, 16000).astype(np.int64)
+            lens.extend(int(x) for x in block)
+            acc += int(block.sum())
+        starts = rng.integers(0, genome.size - 16000, size=len(lens))
+
+        def rows():
+            for s, ln in zip(starts, lens):
+                yield _LUT[genome[s : s + ln]].tobytes()
+
+        _write_fastq("/tmp/kmerutils_bench_ont.fastq", rows())
+
+    return _fixture("/tmp/kmerutils_bench_ont.fastq", make, int(total * 1.9))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipelines with phase breakdowns
+# ---------------------------------------------------------------------------
+
+def e2e_sketch(path, bucket):
+    """On-disk FASTQ -> per-read signatures, host ingest overlapped with
+    device compute.  Returns (Mbases/s, phases dict)."""
     from kmerutils_tpu.io import fastx
     from kmerutils_tpu.sketch.jaccard import Sketcher
     from kmerutils_tpu.sketch.params import (SeqSketcherParams, SketchAlgo,
                                              DataType)
 
-    path = "/tmp/kmerutils_bench_e2e.fastq"
-    n_reads, rl = 16000, 6000
-    if not (os.path.exists(path)
-            and os.path.getsize(path) > n_reads * rl * 2):
-        bases = np.frombuffer(b"ACGT", np.uint8)[
-            rng.integers(0, 4, size=(n_reads, rl))]
-        with open(path, "wb") as f:
-            qual = b"I" * rl
-            for i in range(n_reads):
-                f.write(b"@r%d\n" % i)
-                f.write(bases[i].tobytes())
-                f.write(b"\n+\n")
-                f.write(qual)
-                f.write(b"\n")
     params = SeqSketcherParams(kmer_size=K, sketch_size=M,
                                algo=SketchAlgo.PROB3A, data_t=DataType.DNA)
     sk = Sketcher(params=params)
-    # warmup compile on one batch shape
-    it = fastx.read_batches(path, batch_reads=1024, bucket=False)
-    b0, _ = next(it)
-    _ = np.asarray(sk.sketch_batch(b0))[0, 0]
-    del it
+    # warmup compile on every batch shape this file produces (one quiet
+    # pass; compiles are cached so only new shapes pay)
+    for batch, _ in fastx.read_batches(path, batch_reads=1024,
+                                       bucket=bucket):
+        _ = np.asarray(sk.sketch_batch(batch))[0, 0]
 
     t0 = time.perf_counter()
     st = fastx.IngestStats()
+    up_bytes = 0
+    t_wait = t_disp = 0.0
     last = None
+    t = t0
     for batch, idx in fastx.read_batches_overlapped(
-            path, batch_reads=1024, stats=st, bucket=False,
+            path, batch_reads=1024, stats=st, bucket=bucket,
             to_device=True):
+        t2 = time.perf_counter(); t_wait += t2 - t
+        up_bytes += batch.words.nbytes + batch.lengths.nbytes
         last = sk.sketch_batch(batch)
+        t = time.perf_counter(); t_disp += t - t2
+    t3 = time.perf_counter()
     _ = np.asarray(last)[0, 0]
+    t_sync = time.perf_counter() - t3
     dt = time.perf_counter() - t0
-    return st.n_bases / dt / 1e6
+    phases = {"ingest_wait_s": round(t_wait, 3),
+              "dispatch_s": round(t_disp, 3),
+              "final_sync_s": round(t_sync, 3),
+              "total_s": round(dt, 3),
+              "up_mb": round(up_bytes / 1e6, 1)}
+    return st.n_bases / dt / 1e6, phases
 
 
-def bench_e2e_file_count(rng):
-    """End-to-end on-disk FASTQ -> whole-file exact counts through the
-    streaming table (the `parsefastq --count` pipeline), ingest
-    overlapped.  A ~100 MB coverage FASTQ (reads sampled from a 20 Mbase
-    genome) is generated once and cached in /tmp."""
-    import os
+def e2e_count(path, bucket, cap=1 << 26):
+    """On-disk FASTQ -> whole-file exact counts through the streaming
+    table (the `parsefastq --count` pipeline), ingest overlapped.
+    Returns (Mbases/s, phases dict)."""
     from kmerutils_tpu.io import fastx
     from kmerutils_tpu.count import stream
 
-    path = "/tmp/kmerutils_bench_cov19.fastq"
-    # ~19x coverage of a 5 Mbase genome: the dump (~5 M distinct) stays
-    # small relative to the input, like real ONT counting — the result
-    # transfer is part of the measured end-to-end time either way
-    n_reads, rl = 16000, 6000
-    if not (os.path.exists(path)
-            and os.path.getsize(path) > n_reads * rl * 2):
-        genome = rng.integers(0, 4, size=5 << 20, dtype=np.uint8)
-        lut = np.frombuffer(b"ACGT", np.uint8)
-        with open(path, "wb") as f:
-            qual = b"I" * rl
-            for i in range(n_reads):
-                s = int(rng.integers(0, genome.size - rl))
-                f.write(b"@r%d\n" % i)
-                f.write(lut[genome[s : s + rl]].tobytes())
-                f.write(b"\n+\n")
-                f.write(qual)
-                f.write(b"\n")
     K = 16
-    cap = 1 << 26     # what the CLI auto-sizes for this ~100 MB file
     prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
-    # warmup compile on the first batch shape
+    # warmup compile on every batch shape + the finalize program (cold,
+    # its aggregate graph compiles INSIDE the timed region otherwise)
     folder = stream.StagedFolder(
         stream.StreamCountTable.create(cap, wide=False, coords=False))
-    it = fastx.read_batches(path, bucket=False)
-    b0, _ = next(it)
-    arrs, live = prep(b0, k=K, read_num_offset=0, coords=False)
-    folder.push(arrs, live)
-    # warm the finalize program too (same static lo/hi/clamp + table
-    # shape): cold, its aggregate graph compiles/loads INSIDE the timed
-    # region and dominates the measurement
+    for batch, _ in fastx.read_batches(path, bucket=bucket):
+        arrs, live = prep(batch, k=K, read_num_offset=0, coords=False)
+        folder.push(arrs, live)
     stream.finalize(folder.flush(), min_count=2, count_clamp=255)
-    del it
     folder = stream.StagedFolder(
         stream.StreamCountTable.create(cap, wide=False, coords=False))
 
@@ -218,35 +276,55 @@ def bench_e2e_file_count(rng):
     st = fastx.IngestStats()
     pending = []
     n_folds = 0
+    up_bytes = 0
+    t_wait = t_disp = t_sync = 0.0
+    t = t0
     for batch, idx in fastx.read_batches_overlapped(path, stats=st,
-                                                    bucket=False,
+                                                    bucket=bucket,
                                                     to_device=True):
+        t2 = time.perf_counter(); t_wait += t2 - t
+        up_bytes += batch.words.nbytes + batch.lengths.nbytes
         arrs, live = prep(batch, k=K, read_num_offset=0, coords=False)
+        s0 = 0.0
         if folder.push(arrs, live):
             # capacity is fixed here (no grow hints to sample) — the host
-            # fetch only bounds queued fold outputs in HBM.  Each tunnel
-            # fetch costs ~40 ms RTT, so sample every 4th fold with lag
-            # (<= 8 live tables x 0.54 GB at 2^26)
+            # fetch only bounds queued fold outputs in HBM.  Sample every
+            # 8th fold with lag (<= 16 live tables x 0.54 GB at 2^26)
             n_folds += 1
             pending.append(folder.table.used)
-            if n_folds % 4 == 0:
+            if n_folds % 8 == 0:
+                t4 = time.perf_counter()
                 int(np.asarray(pending.pop(0)))
                 pending = pending[-1:]
+                s0 = time.perf_counter() - t4
+                t_sync += s0
+        t = time.perf_counter(); t_disp += t - t2 - s0
+    t5 = time.perf_counter()
     # count_clamp=255 matches the CLI's default counter_size=8 dump
     # (saturating u8 counts, kmercount.rs counter_size) and ships counts
     # at 1 byte/record — the record transfer is finalize's main cost
     keys, counts, _, _, dropped = stream.finalize(folder.flush(),
                                                   min_count=2,
                                                   count_clamp=255)
+    t_final = time.perf_counter() - t5
     dt = time.perf_counter() - t0
     assert len(keys) > 0 and dropped == 0
-    return st.n_bases / dt / 1e6
+    down_mb = (len(keys) * 3 + len(keys) // 1024 * 8) / 1e6  # d16+cnt+anchor
+    phases = {"ingest_wait_s": round(t_wait, 3),
+              "dispatch_s": round(t_disp, 3),
+              "sync_s": round(t_sync, 3),
+              "finalize_s": round(t_final, 3),
+              "total_s": round(dt, 3),
+              "up_mb": round(up_bytes / 1e6, 1),
+              "down_mb": round(down_mb, 1),
+              "records": len(keys)}
+    return st.n_bases / dt / 1e6, phases
 
 
 def bench_link_bandwidth():
     """Host<->device link bandwidth probe (MB/s up, down).  The e2e file
     metrics are bound by this link, which on the tunneled axon backend
-    drifts 5-10x between sessions (measured 7-50 MB/s); reporting it lets
+    drifts 5-10x between sessions (measured 7-80 MB/s); reporting it lets
     a reader normalize the e2e numbers against infra drift.  Device-side
     rates (sketch/stream_count) are unaffected."""
     mb = 16
@@ -268,8 +346,13 @@ def main():
     link_up, link_down = bench_link_bandwidth()
     mbases_s = bench_sketch(rng)
     count_kmers_s, count_mbases_s = bench_stream_count(rng)
-    e2e_mbases_s = bench_e2e_file_sketch(rng)
-    e2e_count_mbases_s = bench_e2e_file_count(rng)
+    e2e_mbases_s, sk_ph = e2e_sketch(fixture_uniform_sketch(rng),
+                                     bucket=False)
+    e2e_count_mbases_s, ct_ph = e2e_count(fixture_uniform_count(rng),
+                                          bucket=False)
+    ont_path = fixture_ont(rng)
+    ont_sketch_mbases_s, ont_sk_ph = e2e_sketch(ont_path, bucket=True)
+    ont_count_mbases_s, ont_ct_ph = e2e_count(ont_path, bucket=True)
     out = {
         "metric": "probminhash_sketch_throughput_k8_m200",
         "value": round(mbases_s, 2),
@@ -282,6 +365,12 @@ def main():
             "e2e_vs_baseline": round(e2e_mbases_s / BASELINE_MBASES_PER_S,
                                      3),
             "e2e_file_count_mbases_s": round(e2e_count_mbases_s, 2),
+            "ont_file_sketch_mbases_s": round(ont_sketch_mbases_s, 2),
+            "ont_file_count_mbases_s": round(ont_count_mbases_s, 2),
+            "e2e_sketch_phases": sk_ph,
+            "e2e_count_phases": ct_ph,
+            "ont_sketch_phases": ont_sk_ph,
+            "ont_count_phases": ont_ct_ph,
             "link_up_mb_s": round(link_up, 1),
             "link_down_mb_s": round(link_down, 1),
         },

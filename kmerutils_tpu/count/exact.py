@@ -216,126 +216,6 @@ def multiplicity_per_slot(batch: ReadBatch, k: int):
 
 
 # ---------------------------------------------------------------------------
-# device-resident streaming count table (multi-batch accumulation on device)
-# ---------------------------------------------------------------------------
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class DeviceCountTable:
-    """Fixed-capacity device-side accumulator for streaming counting.
-
-    The TPU-native successor of the reference's capacity-bounded cuckoo +
-    counting-bloom pair (kmercount.rs:297-307: capacity 1.0-1.2e9): distinct
-    canonical kmers with exact counts and first-occurrence coordinates live
-    in HBM across batches, so a whole-file count transfers results to host
-    ONCE at the end (a per-batch host merge moves every kmer record over
-    PCIe/tunnel — the dominant cost for multi-Gbase files).
-
-    keys [C] u32/u64 ascending (all-ones sentinel padding; 32-bit keys for
-    k <= 16 make the capacity-sized sorts ~1.4x faster); counts i64;
-    coord u64 = (first_read << 32 | first_pos); n_dropped counts distinct
-    kmers that overflowed capacity (largest keys dropped first,
-    deterministically).
-    """
-
-    keys: jax.Array
-    counts: jax.Array
-    coord: jax.Array
-    n_dropped: jax.Array
-
-    @staticmethod
-    def create(capacity: int, key_dtype=U64) -> "DeviceCountTable":
-        return DeviceCountTable(
-            keys=jnp.full(capacity, sentinel_of(key_dtype),
-                          jnp.dtype(key_dtype)),
-            counts=jnp.zeros(capacity, jnp.int64),
-            coord=jnp.full(capacity, SENTINEL64, U64),
-            n_dropped=jnp.zeros((), jnp.int64))
-
-
-@jax.jit
-def table_update(table: DeviceCountTable, keys, counts, coord):
-    """Fold one batch's run-aligned (keys, counts, coord) into the table.
-
-    keys [N] in the table's key dtype (all-ones sentinel = dead slot),
-    counts (0 on dead), coord u64 (SENTINEL64 on dead).  Cost: two variadic
-    sorts of C+N plus two scans — the sort carries coord as a second key,
-    so each run's FIRST element holds the minimum (global first-occurrence)
-    coordinate; run totals come from a cumulative sum and a reverse cummin
-    locating each position's run end.
-    """
-    C = table.keys.shape[0]
-    sent = sentinel_of(table.keys.dtype)
-    bk = jnp.asarray(keys)
-    if bk.dtype != table.keys.dtype:
-        # widening u32 batch keys into a u64 table: remap the sentinel too
-        # (0xFFFFFFFF widens to a VALID u64 key otherwise)
-        live = bk != sentinel_of(bk.dtype)
-        bk = jnp.where(live, bk.astype(table.keys.dtype), sent)
-    allk = jnp.concatenate([table.keys, bk])
-    allc = jnp.concatenate([table.counts,
-                            jnp.asarray(counts).astype(jnp.int64)])
-    allo = jnp.concatenate([table.coord, jnp.asarray(coord, U64)])
-    sk, so, sc = jax.lax.sort((allk, allo, allc), num_keys=2)
-    is_real = sk != sent
-    new_run = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & is_real
-    nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
-    nxt_real = jnp.concatenate([is_real[1:], jnp.zeros((1,), bool)])
-    is_end = is_real & (nxt_new | ~nxt_real)   # last element of each run
-    S = jnp.cumsum(sc)                          # nondecreasing (counts >= 0)
-    end_s = jax.lax.cummin(
-        jnp.where(is_end, S, jnp.iinfo(jnp.int64).max)[::-1])[::-1]
-    total = end_s - S + sc                      # valid at run starts
-    ok, oc, oo = jax.lax.sort(
-        (jnp.where(new_run, sk, sent),
-         jnp.where(new_run, total, 0),
-         jnp.where(new_run, so, SENTINEL64)), num_keys=1)
-    n_live = new_run.sum()
-    dropped = table.n_dropped + jnp.maximum(n_live - C, 0).astype(jnp.int64)
-    return DeviceCountTable(keys=ok[:C], counts=oc[:C], coord=oo[:C],
-                            n_dropped=dropped)
-
-
-def batch_table_inputs(batch: ReadBatch, k: int, read_num_offset):
-    """One batch's run-aligned (keys, counts, coord) for table_update.
-    read_num_offset may be a traced scalar (no retrace per batch).
-    Keys keep the kmer dtype (u32 for k <= 16) — pair with a table created
-    with the same key_dtype."""
-    keys, counts, rn, ps, _ = count_batch_detailed(batch, k)
-    live = counts > 0
-    coord = ((rn.astype(U64) + jnp.asarray(read_num_offset, U64)) << U64(32)
-             ) | ps.astype(U64)
-    return keys, counts, jnp.where(live, coord, SENTINEL64)
-
-
-def table_finalize(table: DeviceCountTable, min_count: int = 1,
-                   max_count: int | None = None):
-    """Filter on device, then ONE host transfer.
-
-    Returns numpy (keys, counts, read_nums, positions) ascending by key.
-    min_count=2 extracts the multiple-kmer dump records; (1, 1) the unique.
-    """
-    @functools.partial(jax.jit, static_argnames=("lo", "hi"))
-    def run(t, lo, hi):
-        sel = t.counts >= lo
-        if hi is not None:
-            sel &= t.counts <= hi
-        k2, c2, o2 = jax.lax.sort(
-            (jnp.where(sel, t.keys, sentinel_of(t.keys.dtype)),
-             jnp.where(sel, t.counts, 0),
-             jnp.where(sel, t.coord, SENTINEL64)), num_keys=1)
-        return k2, c2, o2, sel.sum()
-
-    k2, c2, o2, nsel = run(table, min_count, max_count)
-    nsel = int(nsel)
-    keys = np.asarray(k2[:nsel])
-    counts = np.asarray(c2[:nsel])
-    coord = np.asarray(o2[:nsel])
-    return (keys, counts, (coord >> np.uint64(32)).astype(np.uint32),
-            (coord & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-
-
-# ---------------------------------------------------------------------------
 # host-side merge across device batches (streaming files larger than HBM)
 # ---------------------------------------------------------------------------
 

@@ -1,9 +1,9 @@
 """Streaming whole-file counting: merge-fold device table.
 
-The round-1 DeviceCountTable (count/exact.py) re-sorts capacity+batch
-elements with two payloads on EVERY batch fold (991 ms at 2^25 capacity on
-v5e) — the wall-clock ceiling of `parsefastq --count` at file scale.  This
-module replaces the fold with the Pallas merge-path kernel
+The round-1 engine re-sorted capacity+batch elements with two payloads on
+EVERY batch fold (991 ms at 2^25 capacity on v5e) — the wall-clock ceiling
+of `parsefastq --count` at file scale.  This module is its replacement and
+the ONLY counting-table engine: folds run the Pallas merge-path kernel
 (ops/merge_pallas.py):
 
   batch      ->  one flat sort of the batch's canonical kmers (raw entries,

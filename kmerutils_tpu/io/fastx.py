@@ -149,11 +149,15 @@ def read_batches(path: str, batch_reads: int = 10000,
     of groups.rs:9-67); ``read_indices`` maps batch rows to original read
     numbers.
 
-    ``quantize=True`` pads the batch width up to the next power of two (>=256
-    bases) and the read count up to the batch's row quota (zero-length
-    padding rows carry no valid positions and no index entries), so batch
-    SHAPES recur across a file and across files — every distinct shape costs
-    a full XLA compile, which dominates wall time otherwise.
+    ``quantize=True`` pads the batch width up to the next rung of the
+    {2^i, 1.5 * 2^i} ladder (>=256 bases) and the read count up to the
+    batch's row quota (zero-length padding rows carry no valid positions and
+    no index entries), so batch SHAPES recur across a file and across files
+    — every distinct shape costs a full XLA compile, which dominates wall
+    time otherwise.  The 1.5x rungs halve the worst-case width padding
+    (pure pow2 pads up to 2x; host->device bytes ride the padded width, and
+    the tunnel link is the e2e bottleneck) at the cost of one extra shape
+    family per octave.
 
     ``max_batch_bases`` caps the PADDED base capacity (rows x width) of one
     batch, so ultra-long reads (ONT 100kb+) automatically get fewer rows per
@@ -166,6 +170,12 @@ def read_batches(path: str, batch_reads: int = 10000,
     numpy packing pass).  Batches are identical either way.
     """
     import jax.numpy as jnp
+
+    def qwidth(L):
+        """Next {2^i, 1.5*2^i} rung >= max(L, 256)."""
+        L = max(L, 256)
+        p = 1 << (L - 1).bit_length()          # next pow2
+        return 3 * p // 4 if L <= 3 * p // 4 else p
 
     # Fixed padded-capacity cap, NOT scaled by batch_reads: device sort
     # throughput per element degrades past ~6-8M elements (VMEM pressure)
@@ -197,7 +207,7 @@ def read_batches(path: str, batch_reads: int = 10000,
             take = 1
             while take < batch_reads and start + take < len(window):
                 Lc = max(L0, int(lens[order[start + take]]))
-                Lq = max(256, 1 << (Lc - 1).bit_length()) if quantize else Lc
+                Lq = qwidth(Lc) if quantize else Lc
                 if (take + 1) * Lq > max_batch_bases:
                     break
                 take += 1
@@ -207,7 +217,7 @@ def read_batches(path: str, batch_reads: int = 10000,
             L = max(ln for _, ln in group)
             n = len(group)
             if quantize:
-                L = max(256, 1 << (L - 1).bit_length())
+                L = qwidth(L)
                 # row quota for this width, a power of two for shape reuse
                 quota = max(1, min(batch_reads, max_batch_bases // L))
                 n = 1 << (quota - 1).bit_length()

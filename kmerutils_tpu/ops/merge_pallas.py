@@ -292,7 +292,7 @@ def merge_sorted_u32(a_arrs, b_arrs, ncmp: int = 1, window: int = 1 << 18):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * narr),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * narr),
         out_specs=[pl.BlockSpec((T,), lambda i, astart: (i,),
                                 memory_space=pltpu.VMEM)] * narr,
         scratch_shapes=[pltpu.VMEM((P,), I32)] * (2 * narr)
@@ -350,8 +350,12 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
     """Fold-merge tile: identical merge math to :func:`_merge_kernel`, plus
     (a) inputs/outputs already in the persistent flipped-i32 layout,
     (b) a dead-tile fast path — tiles whose output range starts at or past
-    the live merged length (scal_ref[n_tiles+1]) write a sentinel block
-    without issuing input DMAs or running the merge network — and
+    the live merged length (scal_ref[n_tiles+1]) do NOTHING: no input DMA,
+    no merge network, and (round 3) no output DMA either — outputs live in
+    ANY memory space and each live tile copies its own block out, so a
+    fold's HBM traffic is O(live tiles), not O(capacity).  Dead regions
+    keep whatever the (donated) buffer held; every consumer masks by
+    ``used`` — and
     (c) double-buffered input DMA: each live tile prefetches the NEXT live
     tile's windows while computing, hiding the load latency.  The two
     buffer sets are selected STATICALLY by tile parity (pl.when on t&1) —
@@ -362,7 +366,8 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
     b_refs = refs[narr : 2 * narr]
     out_refs = refs[2 * narr : 3 * narr]
     scr = refs[3 * narr : 7 * narr]     # [set0: a x narr, b x narr | set1]
-    sems = refs[7 * narr]               # (4*narr,) matching scr
+    ost = refs[7 * narr : 8 * narr]     # output staging (T,) x narr
+    sems = refs[8 * narr]               # (5*narr,): 4*narr input + narr out
     t = pl.program_id(0)
     d0 = t * I32(T)
     end = scal_ref[pl.num_programs(0) + 1]      # used + batch_live
@@ -385,12 +390,6 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
                 b_refs[j].at[pl.ds(b_off, P)], scr[base + narr + j],
                 sems.at[base + narr + j]))
         return cs
-
-    @pl.when(d0 >= end)
-    def _dead():
-        sent = jnp.full((T // 128, 128), _IMAX)
-        for j in range(narr):
-            out_refs[j][:] = sent.reshape(T)
 
     def live_body(s):
         @pl.when(t == 0)
@@ -416,7 +415,19 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
         av = [scr[base + j][:].reshape(R, 128) for j in range(narr)]
         bf = [scr[base + narr + j][:].reshape(R, 128) for j in range(narr)]
         _merge_tile_math(av, bf, x0 - xq, x1 - xq, y0 - yq, y1_ - yq,
-                         out_refs, narr=narr, ncmp=ncmp, P=P)
+                         ost, narr=narr, ncmp=ncmp, P=P)
+        # copy this tile's block out (d0 is a multiple of T, T a multiple
+        # of _Q, so the HBM offset stays DMA-aligned); waited immediately —
+        # T*narr words per live tile, negligible next to the input windows
+        ocs = []
+        for j in range(narr):
+            c = pltpu.make_async_copy(
+                ost[j], out_refs[j].at[pl.ds(pl.multiple_of(d0, _Q), T)],
+                sems.at[4 * narr + j])
+            c.start()
+            ocs.append(c)
+        for c in ocs:
+            c.wait()
 
     @pl.when((d0 < end) & ((t & I32(1)) == 0))
     def _live_even():
@@ -444,10 +455,13 @@ def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
 
     Returns i32 arrays of the same physical shape as a_arrs: positions
     [0, min(used+batch_live, capacity)) hold the merged live entries,
-    positions up to n_tiles*T hold _IMAX sentinels in compare words, and the
-    slop tail is unspecified.  Merged entries past ``capacity`` (the largest
-    keys) land in the overhang/garbage region — the caller accounts drops
-    as max(used + batch_live - capacity, 0).
+    positions from there to the end of the LAST LIVE TILE hold _IMAX
+    sentinels in compare words, and everything past that live tile is
+    UNSPECIFIED (dead tiles skip their output DMA entirely — fold HBM
+    traffic is O(live), not O(capacity); every consumer masks by the live
+    length).  Merged entries past ``capacity`` (the largest keys) land in
+    the overhang/garbage region — the caller accounts drops as
+    max(used + batch_live - capacity, 0).
 
     CONSTRAINT: no live entry's flipped compare words may equal _IMIN
     (all-zeros unsigned) — callers bias keys by +1 before flipping.
@@ -477,11 +491,15 @@ def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * narr),
-        out_specs=[pl.BlockSpec((T,), lambda i, s: (i,),
-                                memory_space=pltpu.VMEM)] * narr,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * narr),
+        # ANY outputs + manual per-live-tile copy-out: dead tiles past the
+        # merged length issue NO output DMA, so fold HBM traffic scales
+        # with occupancy, not capacity (their regions keep old/garbage
+        # data; consumers mask by `used` — count/stream.py layout contract)
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr,
         scratch_shapes=[pltpu.VMEM((P,), I32)] * (4 * narr)
-        + [pltpu.SemaphoreType.DMA((4 * narr,))],
+        + [pltpu.VMEM((T,), I32)] * narr
+        + [pltpu.SemaphoreType.DMA((5 * narr,))],
     )
     with jax.enable_x64(False):
         outs = pl.pallas_call(
@@ -819,7 +837,7 @@ def aggregate_compact_u32(arrs, kw: int = 1, coords: bool = False,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((T,), lambda i: (i,),
                                memory_space=pltpu.VMEM)] * narr,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.VMEM((2 * T,), I32)] * narr
         + [pltpu.VMEM((_Q,), I32)] * narr
@@ -944,8 +962,8 @@ def aggregate_fold_i32(arrs, used, *, kw: int, coords: bool,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[pltpu.VMEM((2 * T,), I32)] * narr
         + [pltpu.VMEM((_Q,), I32)] * narr
@@ -1077,7 +1095,7 @@ def compact_live_u32(arrs, tile: int = 1 << 15):
                                memory_space=pltpu.VMEM)] * narr
         + [pl.BlockSpec((T,), lambda i, off: (i,),
                         memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * narr,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr,
         scratch_shapes=[pltpu.VMEM((2 * T,), I32)] * narr
         + [pltpu.VMEM((_Q,), I32)] * narr
         + [pltpu.SemaphoreType.DMA((2 * narr,))],

@@ -165,215 +165,50 @@ def sharded_bloom_insert(slots, keys, nb_hash: int, log2_slots: int, mesh: Mesh)
     return fn(slots, keys)
 
 
-def sharded_table_create(capacity_per_device: int, mesh: Mesh):
-    """Per-device streaming count tables, kmer-space sharded: device d's
-    table only ever holds kmers whose invhash shard is d (disjoint, like the
-    reference's counter pool).  Returns a table pytree with leading axis
-    n_devices, sharded over the mesh."""
-    n_dev = mesh.shape[READS_AXIS]
-    table = exact.DeviceCountTable.create(capacity_per_device)
-    stacked = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape), table)
-    sh = jax.sharding.NamedSharding(mesh, P(READS_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
-
-
-def sharded_table_update(table, batch: ReadBatch, k: int, mesh: Mesh,
-                         read_num_offset: int = 0,
-                         shard_cap_factor: float = 1.5):
-    """One streaming step of multi-device counting: reads data-parallel,
-    kmers + first-occurrence coords routed to their shard's device over ICI
-    (all_to_all), folded into that device's DeviceCountTable.
-
-    The multi-chip production form of `parsefastq kmer --count`: state stays
-    in sharded HBM across the whole file; results transfer to host once.
-    Returns (updated table, per-device dropped-in-transit count).
-    """
-    n_dev = mesh.shape[READS_AXIS]
-    n, Pn = batch.n_reads, max(batch.max_len - k + 1, 1)
-    local_slots = (n // n_dev) * Pn
-    cap = int(local_slots / n_dev * shard_cap_factor) + 64
-
-    def step(tab, words, lengths):
-        local = ReadBatch(words=words, lengths=lengths)
-        dev = jax.lax.axis_index(READS_AXIS)
-        n_local = words.shape[0]
-        offset = read_num_offset + dev * n_local
-        keys, counts, coord = exact.batch_table_inputs(local, k, offset)
-        # batch keys keep the kmer dtype (u32 for k <= 16); the sharded
-        # exchange and the per-device table run u64-keyed
-        live = keys != exact.sentinel_of(keys.dtype)
-        keys = jnp.where(live, keys.astype(U64), SENTINEL64)
-        # each distinct key appears once per source device (local count +
-        # local first coord); the owning device's table_update merges the
-        # <= n_dev arriving records per key (sums counts, min coord)
-        sid = dispatch.dispatch(
-            jnp.where(keys == SENTINEL64, U64(0), keys), n_dev, k)
-        sid = jnp.where(keys == SENTINEL64, n_dev, sid)
-        kb, dropped_k = _bucketize_by_shard(keys, sid, n_dev, cap)
-        cb, _ = _bucketize_by_shard(
-            jnp.where(keys == SENTINEL64, U64(0), counts.astype(U64)),
-            sid, n_dev, cap)
-        ob, _ = _bucketize_by_shard(coord, sid, n_dev, cap)
-        rk = jax.lax.all_to_all(kb[None], READS_AXIS, 1, 1, tiled=False)[0]
-        rc = jax.lax.all_to_all(cb[None], READS_AXIS, 1, 1, tiled=False)[0]
-        ro = jax.lax.all_to_all(ob[None], READS_AXIS, 1, 1, tiled=False)[0]
-        mine_k = rk.reshape(-1)
-        mine_c = jnp.where(mine_k == SENTINEL64, 0, rc.reshape(-1)).astype(
-            jnp.int64)
-        mine_o = jnp.where(mine_k == SENTINEL64, SENTINEL64, ro.reshape(-1))
-        local_tab = jax.tree_util.tree_map(lambda x: x[0], tab)
-        new_tab = exact.table_update(local_tab, mine_k, mine_c, mine_o)
-        new_tab = jax.tree_util.tree_map(lambda x: x[None], new_tab)
-        return new_tab, dropped_k[None]
-
-    fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
-                   out_specs=(P(READS_AXIS), P(READS_AXIS)))
-    return fn(table, batch.words, batch.lengths)
-
-
-def _bucketize_multi(payloads, shard_ids, n_shards: int, cap: int,
-                     sentinels):
-    """_bucketize_by_shard for several payload arrays sharing one shard-id
-    permutation: ONE variadic sort carries all payloads."""
-    ops = (jnp.asarray(shard_ids, jnp.int32),) + tuple(payloads)
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    ss = sorted_ops[0]
-    starts = jnp.searchsorted(ss, jnp.arange(n_shards + 1, dtype=jnp.int32))
-    counts = starts[1:] - starts[:-1]
-    dropped = jnp.maximum(counts - cap, 0).sum()
-    r = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(starts[:-1, None] + r, ss.shape[0] - 1)
-    live = r < counts[:, None]
-    buckets = tuple(jnp.where(live, sp[idx], sent)
-                    for sp, sent in zip(sorted_ops[1:], sentinels))
-    return buckets, dropped
-
-
 def sharded_stream_create(capacity_per_device: int, mesh: Mesh,
                           wide: bool = False, coords: bool = False):
-    """Per-device streaming merge-fold tables (count/stream.py), kmer-space
-    sharded: the multi-chip production successor of sharded_table_create —
-    folds run the Pallas merge kernel per chip instead of the
-    capacity-sized re-sort."""
-    from ..count import stream
-    n_dev = mesh.shape[READS_AXIS]
-    table = stream.StreamCountTable.create(capacity_per_device, wide, coords)
-    stacked = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape), table)
-    sh = jax.sharding.NamedSharding(mesh, P(READS_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), stacked)
+    """Per-device streaming merge-fold tables, kmer-space sharded — see
+    parallel/stream.py (the production multi-chip counting engine)."""
+    from . import stream as pstream
+    return pstream.sharded_stream_create(capacity_per_device, mesh,
+                                         wide, coords)
 
 
 def sharded_stream_update(table, batch: ReadBatch, k: int, mesh: Mesh,
                           read_num_offset: int = 0,
                           shard_cap_factor: float = 1.5):
-    """One streaming step of multi-chip counting through the merge-fold
-    table: reads data-parallel, raw kmer entries (count 1 each, optional
+    """One exchange+fold step of multi-chip counting through the merge-fold
+    tables: reads data-parallel, raw kmer entries (count 1 each, optional
     first-occurrence coords) routed to their invhash shard over ICI
     (all_to_all), sorted locally, and folded by ONE Pallas merge per chip.
 
-    Routing uses the RAW canonical value (DispatchableT, kmercount.rs:
-    382-420) so placement is bias-independent; keys take their +1 storage
-    bias (both widths — count/stream.py's layout contract) only after the
-    exchange.  Returns (updated table, per-device in-transit drop count).
+    The un-staged single-step API; streaming loops should use
+    parallel/stream.ShardedStreamCounter (LSM staging + growth ladder +
+    spill).  Returns (updated table, per-device in-transit drop count).
     """
-    from ..count import stream
-    n_dev = mesh.shape[READS_AXIS]
-    n, Pn = batch.n_reads, max(batch.max_len - k + 1, 1)
-    local_slots = (n // n_dev) * Pn
-    cap = int(local_slots / n_dev * shard_cap_factor) + 64
-    coords = table.coords if hasattr(table, "coords") else False
-    wide = table.wide
-
-    def step(tab, words, lengths):
-        local = ReadBatch(words=words, lengths=lengths)
-        can, valid, _ = kmer_mod.canonical_kmers(local, k)
-        dev = jax.lax.axis_index(READS_AXIS)
-        n_local, p = can.shape
-        keys = jnp.where(valid.ravel(), can.ravel().astype(U64), SENTINEL64)
-        live = keys != SENTINEL64
-        sid = dispatch.dispatch(jnp.where(live, keys, U64(0)), n_dev, k)
-        sid = jnp.where(live, sid, n_dev)
-        payloads = [keys]
-        sentinels = [SENTINEL64]
-        if coords:
-            idx = jnp.arange(n_local * p, dtype=jnp.int64)
-            rn = (idx // p + read_num_offset
-                  + dev.astype(jnp.int64) * n_local).astype(U64)
-            coord = (rn << U64(32)) | (idx % p).astype(U64)
-            payloads.append(jnp.where(live, coord, SENTINEL64))
-            sentinels.append(SENTINEL64)
-        buckets, dropped = _bucketize_multi(payloads, sid, n_dev, cap,
-                                            sentinels)
-        recv = [jax.lax.all_to_all(b[None], READS_AXIS, 1, 1,
-                                   tiled=False)[0].reshape(-1)
-                for b in buckets]
-        mine_k = recv[0]
-        if coords:
-            sk, so = jax.lax.sort((mine_k, recv[1]), num_keys=1)
-        else:
-            sk = jnp.sort(mine_k)
-        is_live = sk != SENTINEL64
-        if wide:
-            biased = jnp.where(is_live, sk + U64(1), SENTINEL64)
-            arrs = ((biased >> U64(32)).astype(jnp.uint32),
-                    biased.astype(jnp.uint32))
-        else:
-            # +1 bias (live keys <= 0xFF..FD, so no wrap on live lanes)
-            arrs = (jnp.where(is_live, sk.astype(jnp.uint32) + jnp.uint32(1),
-                              jnp.uint32(0xFFFFFFFF)),)
-        arrs = arrs + (jnp.where(is_live, jnp.uint32(1),
-                                 jnp.uint32(0xFFFFFFFF)),)
-        if coords:
-            arrs = arrs + (
-                jnp.where(is_live, (so >> U64(32)).astype(jnp.uint32),
-                          jnp.uint32(0xFFFFFFFF)),
-                jnp.where(is_live, so.astype(jnp.uint32),
-                          jnp.uint32(0xFFFFFFFF)))
-        local_tab = jax.tree_util.tree_map(lambda x: x[0], tab)
-        new_tab = stream.fold(local_tab, arrs,
-                              is_live.sum().astype(jnp.int32))
-        new_tab = jax.tree_util.tree_map(lambda x: x[None], new_tab)
-        return new_tab, dropped[None]
-
-    # pallas_call inside shard_map predates the vma annotation plumbing —
-    # disable the varying-across-mesh check (kwarg renamed check_rep ->
-    # check_vma when shard_map moved to core)
-    try:
-        fn = shard_map(step, mesh=mesh,
-                       in_specs=(P(READS_AXIS), P(READS_AXIS),
-                                 P(READS_AXIS)),
-                       out_specs=(P(READS_AXIS), P(READS_AXIS)),
-                       check_vma=False)
-    except TypeError:
-        fn = shard_map(step, mesh=mesh,
-                       in_specs=(P(READS_AXIS), P(READS_AXIS),
-                                 P(READS_AXIS)),
-                       out_specs=(P(READS_AXIS), P(READS_AXIS)),
-                       check_rep=False)
-    return fn(table, batch.words, batch.lengths)
+    from . import stream as pstream
+    ex = pstream.make_exchange(mesh, k, table.wide, table.coords,
+                               shard_cap_factor)
+    arrs, live, dropped = ex(batch.words, batch.lengths,
+                             jnp.asarray(read_num_offset, jnp.int64))
+    fold = pstream.make_fold(mesh, table)
+    new_arrs, used, nd, ld, _hint = fold(
+        tuple(table.arrs), table.used, table.n_dropped, table.last_distinct,
+        tuple(arrs), live)
+    import dataclasses
+    table = dataclasses.replace(table, arrs=new_arrs, used=used,
+                                n_dropped=nd, last_distinct=ld)
+    return table, dropped
 
 
 def sharded_stream_finalize(table, mesh: Mesh, min_count: int = 1,
                             max_count: int | None = None):
-    """Host collection of the sharded tables: finalize each device's
-    DISJOINT shard, concatenate, and key-sort on host (the
-    KmerCounterPool union is a concatenation, kmercount.rs:546-565)."""
-    from ..count import stream
-    n_dev = mesh.shape[READS_AXIS]
-    parts = []
-    for d in range(n_dev):
-        local = jax.tree_util.tree_map(lambda x: x[d], table)
-        parts.append(stream.finalize(local, min_count, max_count))
-    keys = np.concatenate([p[0] for p in parts])
-    counts = np.concatenate([p[1] for p in parts])
-    rn = np.concatenate([p[2] for p in parts])
-    ps = np.concatenate([p[3] for p in parts])
-    dropped = sum(p[4] for p in parts)
-    order = np.argsort(keys, kind="stable")
-    return keys[order], counts[order], rn[order], ps[order], dropped
+    """Single-process host collection of the sharded tables: finalize each
+    shard, concatenate, key-sort (the KmerCounterPool union,
+    kmercount.rs:546-565).  Multi-process hosts use
+    parallel/stream.finalize_local per process instead."""
+    from . import stream as pstream
+    return pstream.finalize_union(table, min_count, max_count)
 
 
 def gather_signatures(sigs, mesh: Mesh):

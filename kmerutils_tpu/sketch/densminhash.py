@@ -45,7 +45,8 @@ def _oph_buckets(items, valid, m: int, seed: int):
     compute speed; the scatter-min formulation measures ~25x slower on TPU.
     """
     items = jnp.asarray(items, U64)
-    h = splitmix64(items ^ np.uint64(seed * 0x9E3779B97F4A7C15 + 1))
+    h = splitmix64(items ^ np.uint64(
+        (seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF))
     bucket = (h % U64(m)).astype(jnp.int32)
     val = uniform01_f32_from_bits((h >> U64(32)).astype(jnp.uint32))
     hit = (bucket[..., None] == jnp.arange(m, dtype=jnp.int32)) & valid[..., None]

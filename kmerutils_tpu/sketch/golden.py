@@ -117,6 +117,136 @@ def probminhash3_golden(items, weights, m: int, seed: int = 0):
     return sig_v
 
 
+def superminhash_golden(items, m: int, seed: int = 0):
+    """GOLDEN SuperMinHash — Ertl's published sequential Algorithm 1
+    (arXiv:1706.05698; the algorithm SuperHashSketch/SuperHash2Sketch
+    consume through the probminhash crate,
+    /root/reference/src/sketching/setsketchert.rs:211-336, 904-1046).
+
+    Per item d: a dedicated RNG; for j = 0..m-1, draw u ~ U[0,1) and an
+    inline Fisher-Yates step selecting slot p[j] among the unvisited; the
+    candidate value j + u goes to slot p[j] if smaller.  Early termination
+    once j exceeds the current global maximum (Ertl's a_max bookkeeping is
+    equivalent to stopping when j >= ceil(current max); we use the simple
+    bound).  Returns (values float64[m], winners uint64[m]).
+    """
+    sig_t = np.full(m, np.inf)
+    sig_v = np.zeros(m, dtype=np.uint64)
+    for d in items:
+        d = int(d)
+        rng = Xoshiro256ss(d ^ (seed * 0x9E3779B97F4A7C15 & _MASK64))
+        perm = list(range(m))
+        worst = sig_t.max()
+        for j in range(m):
+            if j >= worst:           # j + u >= worst for every later slot
+                break
+            u = rng.uniform()
+            r = j + rng.below(m - j) if m - j > 1 else j
+            perm[j], perm[r] = perm[r], perm[j]
+            s = perm[j]
+            t = j + u
+            if t < sig_t[s]:
+                sig_t[s] = t
+                sig_v[s] = d
+                worst = sig_t.max()
+    return sig_t, sig_v
+
+
+def _oph_golden(items, m: int, seed: int):
+    """One-permutation hashing base: per-slot minima + winning items.
+    One uniform draw decides (bucket, value) per item — the structure
+    OptDens/RevOptDens densify (setsketchert.rs:343-596)."""
+    sig = np.full(m, np.inf)
+    win = np.zeros(m, dtype=np.uint64)
+    for d in items:
+        d = int(d)
+        rng = Xoshiro256ss(d ^ (seed * 0x9E3779B97F4A7C15 & _MASK64))
+        b = rng.below(m)
+        u = rng.uniform()
+        if u < sig[b]:
+            sig[b] = u
+            win[b] = d
+    return sig, win
+
+
+def optdens_golden(items, m: int, seed: int = 0):
+    """GOLDEN OptDens (Shrivastava, PMLR 2017 "Optimal densification for
+    fast and accurate minwise hashing"): each EMPTY bucket walks a random
+    probe sequence (its own RNG keyed by (bucket, seed)) and copies the
+    first originally-filled bucket it hits.  Returns (values, winners)."""
+    sig, win = _oph_golden(items, m, seed)
+    filled = np.isfinite(sig)
+    if not filled.any():
+        return sig, win
+    out_s, out_w = sig.copy(), win.copy()
+    for jb in np.flatnonzero(~filled):
+        rng = Xoshiro256ss((int(jb) * 0xD1B54A32D192ED03
+                            ^ seed * 0x9E3779B97F4A7C15) & _MASK64)
+        while True:
+            p = rng.below(m)
+            if filled[p]:
+                out_s[jb] = sig[p]
+                out_w[jb] = win[p]
+                break
+    return out_s, out_w
+
+
+def revoptdens_golden(items, m: int, seed: int = 0):
+    """GOLDEN RevOptDens (Mai et al., PMLR 2020 "On densification for
+    minwise hashing"): rounds of the REVERSE walk — every originally
+    filled bucket probes one random target per round and fills it if still
+    empty (min-combining on collision within a round), until no bucket is
+    empty.  Robust when m > #items (setsketchert.rs:490-495).  Returns
+    (values, winners)."""
+    sig, win = _oph_golden(items, m, seed)
+    filled0 = np.flatnonzero(np.isfinite(sig))
+    if filled0.size == 0:
+        return sig, win
+    out_s, out_w = sig.copy(), win.copy()
+    rngs = {int(jb): Xoshiro256ss((int(jb) * 0xD1B54A32D192ED03
+                                   ^ seed * 0x9E3779B97F4A7C15) & _MASK64)
+            for jb in filled0}
+    while not np.isfinite(out_s).all():
+        empty_at_round = ~np.isfinite(out_s)
+        for jb in filled0:
+            p = rngs[int(jb)].below(m)
+            # only rounds' empty slots may fill; min-combine on collision
+            if empty_at_round[p] and sig[jb] < out_s[p]:
+                out_s[p] = sig[jb]
+                out_w[p] = win[jb]
+    return out_s, out_w
+
+
+def setsketch_golden(items, m: int, b: float, a: float, q: int,
+                     seed: int = 0):
+    """GOLDEN SetSketch1 register law (Ertl, VLDB 2021, eq. 6 — the
+    probminhash SetSketcher behind HyperLogLogSketch,
+    setsketchert.rs:600-896): register i of the sketch of a set D is
+
+        K_i = max_{d in D} clamp(1 + floor(log_b(a / E(d, i))), 0, q)
+
+    with E(d, i) iid Exp(1) per (item, register), drawn here from a
+    dedicated xoshiro stream per item.  Returns uint64[m] registers."""
+    regs = np.zeros(m, dtype=np.int64)
+    log_b = math.log(b)
+    for d in items:
+        d = int(d)
+        rng = Xoshiro256ss(d ^ (seed * 0x9E3779B97F4A7C15 & _MASK64))
+        for i in range(m):
+            e = -math.log(rng.uniform())
+            v = 1 + math.floor((math.log(a) - math.log(e)) / log_b)
+            v = min(max(v, 0), q)
+            if v > regs[i]:
+                regs[i] = v
+    return regs.astype(np.uint64)
+
+
+def setsketch_cardinality_golden(regs, m: int, b: float, a: float) -> float:
+    """Ertl's GHLL estimator (the same closed form the TPU path uses)."""
+    s = float(np.power(b, -regs.astype(np.float64)).sum())
+    return m * (1.0 - 1.0 / b) / (a * math.log(b)) / s
+
+
 def probjaccard_exact(wa: dict, wb: dict) -> float:
     """Exact Probability Jaccard J_P of two weighted sets:
     J_P = sum_d 1 / sum_e max(w_e^A / w_d^A, w_e^B / w_d^B) over the union

@@ -55,8 +55,10 @@ SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _slot_consts(m: int, seed: int):
-    s = splitmix64(jnp.arange(m, dtype=np.uint64)
-                   + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    # wraparound multiply intended: do it in Python ints and mask so numpy
+    # never sees (or warns on) a scalar overflow
+    off = (int(seed) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    s = splitmix64(jnp.arange(m, dtype=np.uint64) + np.uint64(off))
     return (s >> U64(32)).astype(U32)
 
 

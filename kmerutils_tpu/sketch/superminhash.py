@@ -104,7 +104,8 @@ def superminhash2(items, valid, m: int, seed: int = 0):
 
     # per-item permutation key (a, b) and per-slot uniform draw
     kd = splitmix64(jnp.asarray(items).astype(U64)
-                    ^ np.uint64(seed * 0x9E3779B97F4A7C15 + 0x51))
+                    ^ np.uint64((seed * 0x9E3779B97F4A7C15 + 0x51)
+                                & 0xFFFFFFFFFFFFFFFF))
     a = (kd >> U64(32)).astype(U32) | U32(1)
     b = kd.astype(U32)
     nbits = _perm_bits(m)
@@ -117,7 +118,8 @@ def superminhash2(items, valid, m: int, seed: int = 0):
 
     c = U32
     sc = (splitmix64(jnp.arange(m, dtype=np.uint64)
-                     + np.uint64(seed) * np.uint64(0x632BE59B))
+                     + np.uint64((seed * 0x632BE59B)
+                                 & 0xFFFFFFFFFFFFFFFF))
           >> U64(32)).astype(U32)
     h = (it32[..., None] ^ sc) * c(0x85EBCA77)
     h = h ^ (h >> c(13))

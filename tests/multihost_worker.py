@@ -105,6 +105,67 @@ def main():
     g_host = g_host.reshape(-1, *sig_full.shape)[0]
     assert np.array_equal(g_host, np.asarray(sig_full))
 
+    # 3. PRODUCTION streaming path across the boundary: ShardedStreamCounter
+    # (Pallas merge-fold tables + LSM staging) over >= 3 batches at both key
+    # widths with coordinates on.  Each process oracle-verifies the shards
+    # it owns (the per-host view of the pool union, kmercount.rs:546-565).
+    from kmerutils_tpu.parallel import stream as pstream
+    from kmerutils_tpu.count import dispatch as disp_mod
+
+    def make_gbatch(reads):
+        rb = pack_ascii_reads(reads)
+        w, l = np.asarray(rb.words), np.asarray(rb.lengths)
+        lo, hi = pid * (n_dev // nproc), (pid + 1) * (n_dev // nproc)
+        return ReadBatch(
+            words=jax.make_array_from_process_local_data(sh, w[lo:hi]),
+            lengths=jax.make_array_from_process_local_data(sh, l[lo:hi]))
+
+    owned_rows = set(range(pid * (n_dev // nproc),
+                           (pid + 1) * (n_dev // nproc)))
+    for kk_, wide in ((13, False), (21, True)):
+        rng2 = np.random.default_rng(11)    # same stream in every process
+        ctr = pstream.ShardedStreamCounter(mesh, 1 << 12, wide=wide,
+                                           coords=True, depth=1)
+        all_reads, offset = [], 0
+        for b in range(3):
+            rr = ["".join(rng2.choice(list("ACGT"), size=160))
+                  for _ in range(n_dev)]
+            if b:
+                rr[0] = all_reads[0]        # cross-batch duplicates
+            all_reads.extend(rr)
+            ctr.update(make_gbatch(rr), kk_, read_num_offset=offset)
+            offset += len(rr)
+        local = ctr.finalize_local()
+        assert set(local) == owned_rows, (set(local), owned_rows)
+        # oracle: full-collection counts + first coords, restricted to the
+        # shards this process owns
+        oc = collections.Counter()
+        first = {}
+        for r, s in enumerate(all_reads):
+            for i in range(len(s) - kk_ + 1):
+                sub = s[i:i + kk_]
+                v = kmer_mod.kmer_value_from_str(
+                    min(sub, sub.translate(comp)[::-1]))
+                oc[v] += 1
+                first.setdefault(v, (r, i))
+        sid_all = np.asarray(disp_mod.dispatch(
+            jnp.asarray(np.fromiter(oc, np.uint64)), n_dev, kk_))
+        want = {}
+        for v, s_ in zip(oc, sid_all):
+            if int(s_) in owned_rows:
+                want[int(v)] = (oc[v],) + first[v]
+        got = {}
+        for r, (keys, counts, rn, ps, dropped) in local.items():
+            assert dropped == 0
+            if len(keys):
+                sid = np.asarray(disp_mod.dispatch(
+                    jnp.asarray(keys.astype(np.uint64)), n_dev, kk_))
+                assert (sid == r).all()
+            for v, c, r_, p_ in zip(keys.tolist(), counts.tolist(),
+                                    rn.tolist(), ps.tolist()):
+                got[int(v)] = (int(c), int(r_), int(p_))
+        assert got == want, (kk_, len(got), len(want))
+
     with open(os.path.join(out_dir, f"ok.{pid}"), "w") as f:
         f.write("ok")
     jax.distributed.shutdown()

@@ -2,8 +2,10 @@
 boundary on CPU — SURVEY.md §7 step 7's testable slice.
 
 Spawns two worker processes (4 virtual CPU devices each) that build one
-8-device global mesh, run the hash-routed all_to_all count and the
-signature all-gather across the boundary, and verify against host oracles
+8-device global mesh, run the hash-routed all_to_all count, the signature
+all-gather, AND the production streaming path (ShardedStreamCounter: Pallas
+merge-fold tables + LSM staging, both key widths, coords on, >= 3 batches)
+across the boundary, verifying against host oracles
 (tests/multihost_worker.py)."""
 
 import os
@@ -40,7 +42,7 @@ def test_two_process_mesh(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outs = []
     for w in workers:
-        out, _ = w.communicate(timeout=570)
+        out, _ = w.communicate(timeout=1500)
         outs.append(out.decode(errors="replace"))
     for pid, w in enumerate(workers):
         assert w.returncode == 0, f"worker {pid} failed:\n{outs[pid]}"

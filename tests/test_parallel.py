@@ -111,45 +111,108 @@ class TestRedundantShardedCount:
         assert got == dict(oracle_counts(reads, k))
 
 
-class TestShardedStreamingTable:
-    def test_two_batches_match_oracle(self, rng, mesh8):
-        from kmerutils_tpu.base import kmer as kmer_mod
-        k = 9
+def first_occurrences(reads, k):
+    first = {}
+    for r, s in enumerate(reads):
+        for p in range(len(s) - k + 1):
+            sub = s[p : p + k]
+            can = min(kmer.kmer_value_from_str(sub),
+                      kmer.kmer_value_from_str(revcomp_str(sub)))
+            first.setdefault(can, (r, p))
+    return first
+
+
+def _sharded_batch(reads, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kmerutils_tpu.base.sequence import ReadBatch
+    sh = NamedSharding(mesh, P(kmesh.READS_AXIS))
+    b = pack_ascii_reads(reads)
+    return ReadBatch(words=jax.device_put(np.asarray(b.words), sh),
+                     lengths=jax.device_put(np.asarray(b.lengths), sh))
+
+
+class TestShardedStreamCounter:
+    """The production multi-chip streaming engine (parallel/stream.py):
+    LSM staging, growth ladder, spill — oracle-verified on the 8-dev mesh."""
+
+    @pytest.mark.parametrize("k,depth", [(13, 2), (21, 1)])
+    def test_staged_matches_oracle(self, rng, mesh8, k, depth):
+        from kmerutils_tpu.parallel import stream as pstream
         all_reads = []
-        table = collective.sharded_table_create(2048, mesh8)
+        ctr = pstream.ShardedStreamCounter(mesh8, 1 << 12, wide=k > 16,
+                                           coords=True, depth=depth)
         offset = 0
-        for b in range(2):
+        # enough batches that staging merges runs AND flushes a remainder
+        for b in range((1 << depth) + 1):
             reads = ["".join(rng.choice(list("ACGT"), size=160))
                      for _ in range(16)]
-            if b == 1:
+            if b:
                 reads[:4] = all_reads[:4]  # cross-batch duplicates
             all_reads.extend(reads)
-            batch = pack_ascii_reads(reads)
-            table, dropped = collective.sharded_table_update(
-                table, batch, k, mesh8, read_num_offset=offset)
-            assert int(np.asarray(dropped).sum()) == 0
+            ctr.update(_sharded_batch(reads, mesh8), k,
+                       read_num_offset=offset)
             offset += len(reads)
-        keys = np.asarray(table.keys)
-        counts = np.asarray(table.counts)
-        coord = np.asarray(table.coord)
-        got, got_first = {}, {}
-        for d in range(8):
-            live = counts[d] > 0
-            for kk, cc, oo in zip(keys[d][live], counts[d][live],
-                                  coord[d][live]):
-                assert kk not in got  # shard-disjoint
-                got[int(kk)] = int(cc)
-                got_first[int(kk)] = (int(oo) >> 32, int(oo) & 0xFFFFFFFF)
-        want = oracle_counts(all_reads, k)
-        assert got == dict(want)
-        first = {}
-        for r, s in enumerate(all_reads):
-            for p in range(len(s) - k + 1):
-                sub = s[p : p + k]
-                can = min(kmer_mod.kmer_value_from_str(sub),
-                          kmer_mod.kmer_value_from_str(revcomp_str(sub)))
-                first.setdefault(can, (r, p))
-        assert got_first == first
+        keys, counts, rn, ps, dropped = ctr.finalize()
+        assert dropped == 0
+        assert ctr.dropped_in_transit == 0
+        assert dict(zip(keys.tolist(), counts.tolist())) == \
+            dict(oracle_counts(all_reads, k))
+        first = first_occurrences(all_reads, k)
+        for v, r_, p_ in zip(keys.tolist(), rn.tolist(), ps.tolist()):
+            assert first[v] == (r_, p_), v
+
+    def test_growth_ladder(self, rng, mesh8):
+        # tables start too small for the stream: the replicated grow hint
+        # must fire (lag-1) and capacity must step up without losing counts
+        from kmerutils_tpu.parallel import stream as pstream
+        k = 13
+        # per-device batch_live ~ 16*188/8 = 376 entries; S=2048 gives the
+        # lag-1 hint its 3-fold post-compact slack before any fold can drop
+        ctr = pstream.ShardedStreamCounter(
+            mesh8, 1 << 11, wide=False, coords=False,
+            cap_max_per_device=1 << 14, depth=0)
+        all_reads = []
+        offset = 0
+        for b in range(8):
+            reads = ["".join(rng.choice(list("ACGT"), size=200))
+                     for _ in range(16)]
+            all_reads.extend(reads)
+            ctr.update(_sharded_batch(reads, mesh8), k,
+                       read_num_offset=offset)
+            offset += len(reads)
+        assert ctr.table.cap > (1 << 11), "growth ladder never fired"
+        keys, counts, _, _, dropped = ctr.finalize()
+        assert dropped == 0
+        assert dict(zip(keys.tolist(), counts.tolist())) == \
+            dict(oracle_counts(all_reads, k))
+
+    def test_spill_epochs(self, rng, mesh8, tmp_path):
+        # ladder topped out (cap_max == cap): the counter must spill shards
+        # to disk segments and the k-way merge must restore exact counts
+        from kmerutils_tpu.parallel import stream as pstream
+        k = 13
+        ctr = pstream.ShardedStreamCounter(
+            mesh8, 1 << 11, wide=False, coords=True,
+            cap_max_per_device=1 << 11, depth=0, spill=True,
+            spill_dir=str(tmp_path))
+        all_reads = []
+        offset = 0
+        for b in range(10):
+            reads = ["".join(rng.choice(list("ACGT"), size=200))
+                     for _ in range(16)]
+            all_reads.extend(reads)
+            ctr.update(_sharded_batch(reads, mesh8), k,
+                       read_num_offset=offset)
+            offset += len(reads)
+        keys, counts, rn, ps, dropped = ctr.finalize()
+        assert ctr.spill_stores, "spill never triggered"
+        assert dropped == 0
+        assert dict(zip(keys.tolist(), counts.tolist())) == \
+            dict(oracle_counts(all_reads, k))
+        first = first_occurrences(all_reads, k)
+        for v, r_, p_ in zip(keys.tolist(), rn.tolist(), ps.tolist()):
+            assert first[v] == (r_, p_), v
+        ctr.close()
 
 
 class TestShardedStream:

@@ -344,3 +344,112 @@ class TestGoldenParity:
         ref_sd = np.sqrt(jp * (1 - jp) / m)
         assert 0.5 * ref_sd < st < 1.6 * ref_sd, (st, ref_sd)
         assert 0.5 * ref_sd < sg < 1.6 * ref_sd, (sg, ref_sd)
+
+
+class TestGoldenParityAllFamilies:
+    """PARITY.md §3 round-3 extension: the remaining sketcher families
+    measured against golden host implementations of their published
+    algorithms (sketch/golden.py) — SuperMinHash (Ertl 2017), OptDens
+    (Shrivastava 2017), RevOptDens (Mai 2020), SetSketch (Ertl 2021).
+    Both samplers must estimate the same exact Jaccard unbiasedly with
+    binomial-order variance; tools/golden_parity.py produces the full
+    table."""
+
+    def _overlap_sets(self):
+        rng = np.random.default_rng(17)
+        pool = rng.integers(1, 2**62, 120, dtype=np.uint64)
+        a, b = pool[:60], pool[20:80]      # exact J = 40/80
+        return a, b, 0.5
+
+    def _assert_both(self, est_t, est_g, jex, m, trials):
+        mt, mg = np.mean(est_t), np.mean(est_g)
+        tol = 3.5 * np.sqrt(jex * (1 - jex) / m / trials) + 0.02
+        assert abs(mt - jex) < tol, (mt, jex, tol)
+        assert abs(mg - jex) < tol, (mg, jex, tol)
+        ref_sd = np.sqrt(jex * (1 - jex) / m)
+        # SuperMinHash's variance is strictly BELOW binomial for small
+        # sets (Ertl 2017), so only the upper bound is family-generic
+        assert np.std(est_t) < 1.7 * ref_sd, (np.std(est_t), ref_sd)
+        assert np.std(est_g) < 1.7 * ref_sd, (np.std(est_g), ref_sd)
+
+    def test_superminhash_vs_golden(self):
+        from kmerutils_tpu.sketch import golden, superminhash
+        a, b, jex = self._overlap_sets()
+        m, trials = 64, 24
+        va = np.ones((1, a.size), bool)
+        vb = np.ones((1, b.size), bool)
+        est_t, est_g = [], []
+        for s in range(trials):
+            sa, _ = superminhash.superminhash2(a[None], va, m, s)
+            sb, _ = superminhash.superminhash2(b[None], vb, m, s)
+            est_t.append(float((np.asarray(sa)[0] == np.asarray(sb)[0])
+                               .mean()))
+            _, wa = golden.superminhash_golden(a, m, s)
+            _, wb = golden.superminhash_golden(b, m, s)
+            est_g.append(float((wa == wb).mean()))
+        self._assert_both(est_t, est_g, jex, m, trials)
+
+    def test_optdens_vs_golden(self):
+        from kmerutils_tpu.sketch import golden, densminhash
+        a, b, jex = self._overlap_sets()
+        m, trials = 64, 24
+        va = np.ones((1, a.size), bool)
+        vb = np.ones((1, b.size), bool)
+        est_t, est_g = [], []
+        for s in range(trials):
+            sa, _ = densminhash.optdens_signatures(a[None], va, m, s)
+            sb, _ = densminhash.optdens_signatures(b[None], vb, m, s)
+            est_t.append(float((np.asarray(sa)[0] == np.asarray(sb)[0])
+                               .mean()))
+            ga, _ = golden.optdens_golden(a, m, s)
+            gb, _ = golden.optdens_golden(b, m, s)
+            est_g.append(float((ga == gb).mean()))
+        self._assert_both(est_t, est_g, jex, m, trials)
+
+    def test_revoptdens_vs_golden(self):
+        from kmerutils_tpu.sketch import golden, densminhash
+        a, b, jex = self._overlap_sets()
+        m, trials = 64, 24
+        va = np.ones((1, a.size), bool)
+        vb = np.ones((1, b.size), bool)
+        est_t, est_g = [], []
+        for s in range(trials):
+            sa, _ = densminhash.revoptdens_signatures(a[None], va, m, s)
+            sb, _ = densminhash.revoptdens_signatures(b[None], vb, m, s)
+            est_t.append(float((np.asarray(sa)[0] == np.asarray(sb)[0])
+                               .mean()))
+            ga, _ = golden.revoptdens_golden(a, m, s)
+            gb, _ = golden.revoptdens_golden(b, m, s)
+            est_g.append(float((ga == gb).mean()))
+        self._assert_both(est_t, est_g, jex, m, trials)
+
+    def test_setsketch_vs_golden(self):
+        from kmerutils_tpu.sketch import golden
+        from kmerutils_tpu.sketch import setsketch as ss
+        rng = np.random.default_rng(23)
+        n, m, trials = 400, 64, 8
+        items = rng.integers(1, 2**62, n, dtype=np.uint64)
+        p = ss.SetSketchParams(m=m)
+        est_t, est_g = [], []
+        for s in range(trials):
+            regs_t = np.asarray(ss.setsketch_signatures(
+                items[None], np.ones((1, n), bool), p, s))[0]
+            est_t.append(float(np.asarray(
+                ss.cardinality(regs_t[None], p))[0]))
+            regs_g = golden.setsketch_golden(items, m, p.b, p.a, p.q, s)
+            est_g.append(golden.setsketch_cardinality_golden(
+                regs_g, m, p.b, p.a))
+        sd_theory = n / np.sqrt(m)         # HLL-order relative error
+        for label, est in (("tpu", est_t), ("golden", est_g)):
+            assert abs(np.mean(est) - n) < 3.5 * sd_theory / np.sqrt(
+                trials) + 0.05 * n, (label, np.mean(est))
+            assert np.std(est) < 2.5 * sd_theory, (label, np.std(est))
+        # register law: both samplers' mean register within each other's
+        # sampling noise (the truncated-geometric law has sd ~ 1/ln b per
+        # register -> mean-register sd ~ 1/(ln b * sqrt(m)))
+        regs_t = np.asarray(ss.setsketch_signatures(
+            items[None], np.ones((1, n), bool), p, 0))[0]
+        regs_g = golden.setsketch_golden(items, m, p.b, p.a, p.q, 0)
+        sd_mean_reg = (1.0 / np.log(p.b)) / np.sqrt(m)
+        assert abs(regs_t.astype(np.float64).mean()
+                   - regs_g.astype(np.float64).mean()) < 4 * sd_mean_reg

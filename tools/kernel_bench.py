@@ -1,0 +1,178 @@
+"""Kernel perf regression guard: merge_fold / aggregate_fold on real TPU.
+
+Measures the two production Pallas programs (ops/merge_pallas.py) at
+{2^26, 2^28} capacity x {10%, 80%} occupancy and prints ONE JSON line.
+Asserts the property round 2's persistent-layout redesign bought: fold and
+compact cost scale with OCCUPANCY (live entries), not capacity — a 2^28
+table must fold within 1.6x of a 2^26 table holding the SAME live count
+(dead tiles skip their DMA + compute entirely; see count/stream.py).
+
+At 80% of 2^26 the fold's own auto-compact branch fires (used + batch
+crosses the headroom trigger) — that IS production behavior at high
+occupancy and is measured as such; the equal-live ratio assertion runs at
+10% of 2^26 in both tables so neither side compacts and the comparison is
+fold-only.
+
+Run on the tunneled TPU:
+  PYTHONPATH=/root/repo:$PYTHONPATH python tools/kernel_bench.py
+Wired into the verify skill next to tpu_smoke.py.
+"""
+
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+import kmerutils_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from kmerutils_tpu.count import stream
+
+I32 = jnp.int32
+U32 = jnp.uint32
+BATCH = 8 << 20          # one CLI-sized batch of raw entries
+RATIO_BATCH = 1 << 20    # small batch for the equal-live ratio: 16 chained
+#                          folds drift used by 16M < the 2^26 compact
+#                          trigger, so no rebuilds and no compact branch
+
+
+def make_table(cap: int, n_live: int) -> stream.StreamCountTable:
+    """Device-built table at a given occupancy, in kernel-native layout:
+    ascending distinct biased keys (stride 3 so a stride-3-offset batch
+    interleaves without duplication), count 1 each."""
+    t = stream.StreamCountTable.create(cap, wide=False, coords=False)
+    lp = t.arrs[0].shape[0]
+
+    @jax.jit
+    def fill():
+        i = jnp.arange(lp, dtype=U32)
+        live = i < n_live
+        key = jnp.where(live, i * U32(3) + U32(1), U32(0xFFFFFFFF))
+        k0 = jax.lax.bitcast_convert_type(key ^ U32(0x80000000), I32)
+        cnt = jax.lax.bitcast_convert_type(
+            jnp.where(live, U32(1), U32(0xFFFFFFFF)), I32)
+        return k0, cnt
+
+    k0, cnt = fill()
+    return dataclasses.replace(t, arrs=(k0, cnt),
+                               used=jnp.asarray(n_live, jnp.int32),
+                               last_distinct=jnp.asarray(n_live, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def make_batch(n: int = BATCH):
+    i = jnp.arange(n, dtype=U32)
+    return (i * U32(3) + U32(2), jnp.ones(n, U32))
+
+
+def _rtt() -> float:
+    """One scalar-fetch latency on this backend (subtracted from loops)."""
+    x = jax.device_put(np.zeros((), np.int32))
+    _ = int(np.asarray(x))
+    t0 = time.perf_counter()
+    _ = int(np.asarray(x))
+    return time.perf_counter() - t0
+
+
+def time_fold(cap: int, n_live: int, iters: int = 8,
+              repeats: int = 3) -> float:
+    """ms per merge_fold_i32 launch at this occupancy (steady state).
+
+    The table is rebuilt before every fold so occupancy stays at n_live
+    across iterations (a fold chain would drift used upward); the rebuild
+    cost is measured the same way and subtracted; min over repeats damps
+    tunnel RTT jitter."""
+    batch = make_batch()
+    live = jnp.asarray(BATCH, jnp.int32)
+    t = stream.fold(make_table(cap, n_live), batch, live)   # compile+warm
+    _ = int(np.asarray(t.used))
+    rtt = _rtt()
+
+    def run(with_fold: bool) -> float:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                t = make_table(cap, n_live)
+                if with_fold:
+                    t = stream.fold(t, batch, live)
+            _ = int(np.asarray(t.used))
+            best = min(best, time.perf_counter() - t0 - rtt)
+        return best
+
+    fill_dt = run(False)
+    both_dt = run(True)
+    return max(both_dt - fill_dt, 0.0) / iters * 1e3
+
+
+def time_fold_chain(cap: int, n_live: int, iters: int = 16,
+                    repeats: int = 3) -> float:
+    """ms per fold over a donation-chained run of SMALL (RATIO_BATCH)
+    folds — used drifts n_live -> n_live + iters*RATIO_BATCH, below the
+    compact trigger at both capacities, so the measurement is pure
+    merge_fold_i32 in production steady state (no rebuilds)."""
+    batch = make_batch(RATIO_BATCH)
+    live = jnp.asarray(RATIO_BATCH, jnp.int32)
+    t = stream.fold(make_table(cap, n_live), batch, live)   # compile+warm
+    _ = int(np.asarray(t.used))
+    rtt = _rtt()
+    best = float("inf")
+    for _ in range(repeats):
+        t = make_table(cap, n_live)
+        _ = int(np.asarray(t.used))       # table in place before timing
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            t = stream.fold(t, batch, live)
+        _ = int(np.asarray(t.used))
+        best = min(best, time.perf_counter() - t0 - rtt)
+    return best / iters * 1e3
+
+
+def time_compact(cap: int, n_live: int, iters: int = 8,
+                 repeats: int = 3) -> float:
+    """ms per aggregate_fold_i32 pass at this occupancy."""
+    t = make_table(cap, n_live)
+    c = stream.compact(t)                     # compile + warm
+    _ = int(np.asarray(c.used))
+    rtt = _rtt()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = stream.compact(t)
+        _ = int(np.asarray(c.used))
+        best = min(best, time.perf_counter() - t0 - rtt)
+    return best / iters * 1e3
+
+
+def main():
+    out = {}
+    for cap_log in (26, 28):
+        for occ in (0.10, 0.80):
+            n_live = int((1 << cap_log) * occ)
+            f = time_fold(1 << cap_log, n_live)
+            c = time_compact(1 << cap_log, n_live)
+            out[f"fold_ms_2e{cap_log}_occ{int(occ*100)}"] = round(f, 2)
+            out[f"compact_ms_2e{cap_log}_occ{int(occ*100)}"] = round(c, 2)
+    # occupancy-not-capacity: the SAME live count (10% of 2^26) in both
+    # capacities; neither side crosses the auto-compact trigger, so the
+    # comparison is pure fold (chained small folds, no rebuild noise)
+    same_live = int((1 << 26) * 0.10)
+    f26 = time_fold_chain(1 << 26, same_live)
+    f28 = time_fold_chain(1 << 28, same_live)
+    out["fold_ms_equal_live_2e26"] = round(f26, 2)
+    out["fold_ms_equal_live_2e28"] = round(f28, 2)
+    ratio = f28 / max(f26, 1e-9)
+    out["fold_capacity_ratio_equal_live"] = round(ratio, 3)
+    ok = ratio < 1.6
+    out["occupancy_scaling_ok"] = bool(ok)
+    print(json.dumps({"metric": "kernel_bench", "extra": out}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""1-process vs 2-process CPU-mesh throughput of the PRODUCTION streaming
+count path — the testable slice of BASELINE's >= 80% 2-host scaling target
+(no second TPU host exists here; the process boundary on the 8-device CPU
+mesh plays the DCN role, exactly like tests/test_multihost.py).
+
+Runs the same ShardedStreamCounter workload (exchange + staged Pallas folds)
+over one 8-device mesh owned by 1 process and by 2 processes (4 devices
+each), prints Mkmers/s for both and the ratio.  Results are recorded in
+SCALING.md.
+
+Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/multihost_scaling.py
+        (spawns its own workers; ~2-4 min incl. compiles)
+
+Worker mode (internal): multihost_scaling.py worker <pid> <nproc> <port>
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import time
+
+N_DEV = 8
+N_BATCH = 12          # timed updates
+N_READS = 64          # reads per batch (global)
+READ_LEN = 1024
+K = 13
+
+
+def worker(pid: int, nproc: int, port: str):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count="
+            f"{N_DEV // nproc}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}", num_processes=nproc,
+            process_id=pid)
+    assert jax.device_count() == N_DEV
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import kmerutils_tpu  # noqa: F401
+    from kmerutils_tpu.base.sequence import pack_ascii_reads, ReadBatch
+    from kmerutils_tpu.parallel import stream as pstream
+    from kmerutils_tpu.parallel.mesh import READS_AXIS
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(N_DEV), (READS_AXIS,))
+    sh = NamedSharding(mesh, P(READS_AXIS))
+    rng = np.random.default_rng(5)      # same stream in every process
+
+    def make_gbatch():
+        reads = ["".join(rng.choice(list("ACGT"), size=READ_LEN))
+                 for _ in range(N_READS)]
+        rb = pack_ascii_reads(reads)
+        w, l = np.asarray(rb.words), np.asarray(rb.lengths)
+        lo, hi = pid * (N_READS // nproc), (pid + 1) * (N_READS // nproc)
+        if nproc > 1:
+            return ReadBatch(
+                words=jax.make_array_from_process_local_data(sh, w[lo:hi]),
+                lengths=jax.make_array_from_process_local_data(
+                    sh, l[lo:hi]))
+        return ReadBatch(words=jax.device_put(w, sh),
+                         lengths=jax.device_put(l, sh))
+
+    batches = [make_gbatch() for _ in range(N_BATCH + 2)]
+    ctr = pstream.ShardedStreamCounter(mesh, 1 << 16, wide=False,
+                                       coords=False, depth=1)
+    # warmup: one full staged cycle + flush shapes
+    for b in batches[:2]:
+        ctr.update(b, K)
+    ctr.flush()
+
+    ctr = pstream.ShardedStreamCounter(mesh, 1 << 16, wide=False,
+                                       coords=False, depth=1)
+    t0 = time.perf_counter()
+    off = 0
+    for b in batches[2:]:
+        ctr.update(b, K, read_num_offset=off)
+        off += N_READS
+    t = ctr.flush()
+    import jax as _j
+    _j.block_until_ready(t.arrs[0])
+    dt = time.perf_counter() - t0
+    kmers = N_BATCH * N_READS * (READ_LEN - K + 1)
+    if pid == 0:
+        print(f"RESULT {nproc}proc {kmers / dt / 1e6:.3f} Mkmers/s "
+              f"({dt:.2f}s)", flush=True)
+    if nproc > 1:
+        jax.distributed.shutdown()
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run(nproc: int) -> float:
+    port = str(_free_port())
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "worker", str(p),
+         str(nproc), port],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(nproc)]
+    rate = None
+    outs = []
+    for p, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=1500)
+        outs.append(out.decode(errors="replace"))
+        assert pr.returncode == 0, f"worker {p}:\n{outs[-1]}"
+    for line in outs[0].splitlines():
+        if line.startswith("RESULT"):
+            rate = float(line.split()[2])
+    assert rate is not None, outs[0]
+    return rate
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+    r1 = run(1)
+    r2 = run(2)
+    print(f"1-process: {r1:.3f} Mkmers/s")
+    print(f"2-process: {r2:.3f} Mkmers/s")
+    print(f"ratio (2proc/1proc): {r2 / r1:.3f}")
+
+
+if __name__ == "__main__":
+    main()
