@@ -2,10 +2,12 @@
 
 Each process owns 4 virtual CPU devices; jax.distributed stitches them into
 one 8-device global mesh spanning a process (≈ host/DCN) boundary.  The
-worker drives the same collectives the single-process tests exercise —
-hash-routed all_to_all counting (collective.sharded_count) and the
-signature all-gather (collective.gather_signatures) — across that boundary,
-then verifies against a replicated host oracle.  SURVEY.md §7 step 7's
+worker drives, across that boundary: the hash-routed all_to_all counting
+step (collective.sharded_count), the signature all-gather
+(collective.gather_signatures), and the PRODUCTION streaming path
+(parallel/stream.ShardedStreamCounter — Pallas merge-fold tables with LSM
+staging) over >=3 batches at both key widths with coordinates on, each
+verified against a replicated host oracle.  SURVEY.md §7 step 7's
 CPU-testable slice of the multi-host story.
 
 Usage: python multihost_worker.py <pid> <nproc> <coord_port> <out_dir>

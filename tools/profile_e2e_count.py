@@ -3,7 +3,7 @@ e2e_file_count workload): where does wall time go between host parse,
 upload, prep+fold dispatch, sync stalls, and finalize?
 
 Run:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_e2e_count.py
-(uses the cached /tmp/kmerutils_bench_cov19.fastq; generate by running
+(uses the cached /tmp/kmerutils_bench_cov48.fastq; generate by running
 bench.py once).
 """
 
@@ -17,7 +17,7 @@ import jax
 from kmerutils_tpu.io import fastx
 from kmerutils_tpu.count import stream
 
-PATH = "/tmp/kmerutils_bench_cov19.fastq"
+PATH = "/tmp/kmerutils_bench_cov48.fastq"
 K = 16
 CAP = 1 << 26
 
