@@ -150,41 +150,32 @@ def _fixture(path, make, min_bytes):
     return path
 
 
-def fixture_uniform_sketch(rng):
-    """~190 MB FASTQ of random uniform 6 kb reads (sketch e2e)."""
-    n_reads, rl = 16000, 6000
-
-    def make():
-        bases = _LUT[rng.integers(0, 4, size=(n_reads, rl), dtype=np.uint8)]
-        _write_fastq("/tmp/kmerutils_bench_e2e.fastq",
-                     (bases[i].tobytes() for i in range(n_reads)))
-
-    return _fixture("/tmp/kmerutils_bench_e2e.fastq", make, n_reads * rl * 2)
-
-
-def fixture_uniform_count(rng):
-    """~190 MB coverage FASTQ: 6 kb reads sampled from a 2 Mbase genome
-    (~48x coverage — a small-genome ONT counting run; the dump stays ~2M
-    distinct kmers so the result down-transfer is realistic relative to
-    the input)."""
-    n_reads, rl = 16000, 6000
+def fixture_uniform(rng):
+    """~770 MB coverage FASTQ: 384 Mbases of uniform 6 kb reads sampled
+    from a 2 Mbase genome (~190x coverage).  Serves BOTH e2e workloads:
+    per-read sketching is content-agnostic, and counting needs bounded
+    distinct kmers (~2M) so the record down-transfer stays realistic.
+    Sized so the pipeline's fixed costs (final sync RTTs, finalize
+    aggregate+transfer) amortize and the metric reads steady-state
+    throughput, not launch overhead."""
+    n_reads, rl = 64000, 6000
 
     def make():
         genome = rng.integers(0, 4, size=2 << 20, dtype=np.uint8)
         starts = rng.integers(0, genome.size - rl, size=n_reads)
-        _write_fastq("/tmp/kmerutils_bench_cov48.fastq",
+        _write_fastq("/tmp/kmerutils_bench_cov_384m.fastq",
                      (_LUT[genome[s : s + rl]].tobytes() for s in starts))
 
-    return _fixture("/tmp/kmerutils_bench_cov48.fastq", make,
+    return _fixture("/tmp/kmerutils_bench_cov_384m.fastq", make,
                     n_reads * rl * 2)
 
 
 def fixture_ont(rng):
-    """~190 MB ONT-realistic FASTQ: length-lognormal reads (median ~5 kb,
+    """~800 MB ONT-realistic FASTQ: length-lognormal reads (median ~5 kb,
     heavy tail, clipped to [500, 16000]) sampled from a 2 Mbase genome —
     exercises the bucketing/padding path (io/fastx bucket=True) the
-    uniform fixtures cannot."""
-    total = 96_000_000
+    uniform fixture cannot."""
+    total = 384_000_000
 
     def make():
         genome = rng.integers(0, 4, size=2 << 20, dtype=np.uint8)
@@ -201,9 +192,10 @@ def fixture_ont(rng):
             for s, ln in zip(starts, lens):
                 yield _LUT[genome[s : s + ln]].tobytes()
 
-        _write_fastq("/tmp/kmerutils_bench_ont.fastq", rows())
+        _write_fastq("/tmp/kmerutils_bench_ont_384m.fastq", rows())
 
-    return _fixture("/tmp/kmerutils_bench_ont.fastq", make, int(total * 1.9))
+    return _fixture("/tmp/kmerutils_bench_ont_384m.fastq", make,
+                    int(total * 1.9))
 
 
 # ---------------------------------------------------------------------------
@@ -221,10 +213,15 @@ def e2e_sketch(path, bucket):
     params = SeqSketcherParams(kmer_size=K, sketch_size=M,
                                algo=SketchAlgo.PROB3A, data_t=DataType.DNA)
     sk = Sketcher(params=params)
-    # warmup compile on every batch shape this file produces (one quiet
-    # pass; compiles are cached so only new shapes pay)
+    # warmup compile on every batch SHAPE this file produces (one quiet
+    # host pass; repeated shapes skip their device call — with quantized
+    # widths a file yields only a handful of shapes)
+    seen = set()
     for batch, _ in fastx.read_batches(path, batch_reads=1024,
                                        bucket=bucket):
+        if batch.words.shape in seen:
+            continue
+        seen.add(batch.words.shape)
         _ = np.asarray(sk.sketch_batch(batch))[0, 0]
 
     t0 = time.perf_counter()
@@ -261,11 +258,15 @@ def e2e_count(path, bucket, cap=1 << 26):
 
     K = 16
     prep = jax.jit(stream.batch_entries, static_argnames=("k", "coords"))
-    # warmup compile on every batch shape + the finalize program (cold,
+    # warmup compile on every batch SHAPE + the finalize program (cold,
     # its aggregate graph compiles INSIDE the timed region otherwise)
     folder = stream.StagedFolder(
         stream.StreamCountTable.create(cap, wide=False, coords=False))
+    seen = set()
     for batch, _ in fastx.read_batches(path, bucket=bucket):
+        if batch.words.shape in seen:
+            continue
+        seen.add(batch.words.shape)
         arrs, live = prep(batch, k=K, read_num_offset=0, coords=False)
         folder.push(arrs, live)
     stream.finalize(folder.flush(), min_count=2, count_clamp=255)
@@ -287,12 +288,14 @@ def e2e_count(path, bucket, cap=1 << 26):
         arrs, live = prep(batch, k=K, read_num_offset=0, coords=False)
         s0 = 0.0
         if folder.push(arrs, live):
-            # capacity is fixed here (no grow hints to sample) — the host
-            # fetch only bounds queued fold outputs in HBM.  Sample every
-            # 8th fold with lag (<= 16 live tables x 0.54 GB at 2^26)
+            # capacity is fixed here (no grow hints to sample); table
+            # buffers are DONATED through folds so queued folds do not
+            # each hold a table — the occasional lagged host fetch only
+            # bounds queued prep outputs (~50 MB/batch) in HBM.  Each
+            # fetch costs one tunnel RTT, so sample sparsely
             n_folds += 1
             pending.append(folder.table.used)
-            if n_folds % 8 == 0:
+            if n_folds % 16 == 0:
                 t4 = time.perf_counter()
                 int(np.asarray(pending.pop(0)))
                 pending = pending[-1:]
@@ -346,10 +349,9 @@ def main():
     link_up, link_down = bench_link_bandwidth()
     mbases_s = bench_sketch(rng)
     count_kmers_s, count_mbases_s = bench_stream_count(rng)
-    e2e_mbases_s, sk_ph = e2e_sketch(fixture_uniform_sketch(rng),
-                                     bucket=False)
-    e2e_count_mbases_s, ct_ph = e2e_count(fixture_uniform_count(rng),
-                                          bucket=False)
+    uni_path = fixture_uniform(rng)
+    e2e_mbases_s, sk_ph = e2e_sketch(uni_path, bucket=False)
+    e2e_count_mbases_s, ct_ph = e2e_count(uni_path, bucket=False)
     ont_path = fixture_ont(rng)
     ont_sketch_mbases_s, ont_sk_ph = e2e_sketch(ont_path, bucket=True)
     ont_count_mbases_s, ont_ct_ph = e2e_count(ont_path, bucket=True)

@@ -263,13 +263,20 @@ def _fold_body(table: StreamCountTable, batch_arrs, batch_live):
         return dataclasses.replace(t, grow_hint=hint)
 
     # A second, amortized trigger (independent of the staged fold size)
-    # keeps pending duplicates bounded at ~2x distinct even far from
-    # capacity — folds cost O(used) in the persistent layout, so letting
-    # duplicates pile up toward a distant capacity threshold would make
-    # every fold pay for them
+    # bounds pending duplicates far from capacity.  Folds cost O(D + P)
+    # HBM traffic (D = distinct, P = pending) and a compaction costs the
+    # same but resets P to 0; balancing total traffic over a
+    # fold-compact cycle of P/F folds minimizes at P* = 2*sqrt(D*F)
+    # (d/dP of [D + P/2 + 2DF/P] = 0).  The old fixed bound
+    # (min(4*BATCH_CAP, S/2)) let P grow ~16x distinct on small-genome
+    # coverage streams, nearly doubling every fold's traffic.  When
+    # 2*sqrt(D*F) < F the trigger fires every fold — that IS the optimum
+    # there (compacting each F-sized fold beats carrying it).  f32 sqrt
+    # error at D*F <= 2^56 is ~2^-24 relative — noise against P*.
+    d_f32 = jnp.maximum(table.last_distinct, 1).astype(jnp.float32)
+    pend_cap = (2.0 * jnp.sqrt(d_f32 * np.float32(F))).astype(jnp.int32)
     need = (table.used + batch_live > S - headroom) | \
-        (table.used > 2 * table.last_distinct
-         + min(4 * BATCH_CAP, S // 2))
+        (table.used > table.last_distinct + pend_cap)
     table = jax.lax.cond(need, compact_and_flag,
                          lambda t: dataclasses.replace(
                              t, grow_hint=jnp.zeros((), jnp.int32)), table)
