@@ -283,12 +283,17 @@ def read_batches_overlapped(path: str, queue_depth: int = 3,
     kwarg is filled by the producer BEFORE the stream ends, so reading it
     after exhaustion is safe.
 
-    to_device=True additionally `jax.device_put`s each batch in the
-    producer, so the host->device transfer (async) starts as soon as a
-    batch is assembled instead of when the consumer's next jit call needs
-    it — on a latency-bound link this roughly doubles end-to-end
-    throughput (measured 30 -> 54 Mb/s through the tunnel).  queue_depth
-    then also bounds in-flight device batch buffers.
+    to_device=True additionally `jax.device_put`s each batch in a SECOND
+    pipeline stage (its own thread), so the host->device transfer starts
+    as soon as a batch is assembled instead of when the consumer's next
+    jit call needs it — on a latency-bound link this roughly doubles
+    end-to-end throughput (measured 30 -> 54 Mb/s through the tunnel).
+    The two stages matter: `device_put` through the tunnel blocks its
+    caller while it serializes onto the link (~batch_bytes/link_bw plus a
+    fixed RTT), so putting it in the PARSE thread re-serializes parse and
+    upload (measured: e2e count ingest_wait == parse_s + upload_s exactly);
+    in its own stage parse rides under the upload.  queue_depth bounds
+    each stage's queue (and so in-flight device batch buffers).
     """
     import queue as _queue
     import threading
@@ -296,19 +301,35 @@ def read_batches_overlapped(path: str, queue_depth: int = 3,
     q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
     _END = object()
 
-    def worker():
+    def parse_worker(out_q):
         try:
-            if to_device:
-                import jax
             for item in read_batches(path, **kw):
-                if to_device:
-                    item = (jax.device_put(item[0]),) + tuple(item[1:])
-                q.put(item)
-            q.put(_END)
+                out_q.put(item)
+            out_q.put(_END)
         except BaseException as e:  # surface parse errors in the consumer
-            q.put(e)
+            out_q.put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
+    if to_device:
+        import jax
+        q0: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+
+        def upload_worker():
+            try:
+                while True:
+                    item = q0.get()
+                    if item is _END or isinstance(item, BaseException):
+                        q.put(item)
+                        return
+                    q.put((jax.device_put(item[0]),) + tuple(item[1:]))
+            except BaseException as e:
+                q.put(e)
+
+        threading.Thread(target=parse_worker, args=(q0,),
+                         daemon=True).start()
+        threading.Thread(target=upload_worker, daemon=True).start()
+    else:
+        threading.Thread(target=parse_worker, args=(q,),
+                         daemon=True).start()
     while True:
         item = q.get()
         if item is _END:

@@ -54,6 +54,31 @@ class TestFastx:
         assert len(seen) == 57
         assert all(seen[i] == reads[i] for i in range(57))
 
+    @pytest.mark.parametrize("to_device", [False, True])
+    def test_overlapped_matches_plain(self, rng, tmp_path, to_device):
+        # the two-stage (parse thread -> upload thread) pipeline yields
+        # exactly read_batches' stream, in order, with stats filled
+        reads = make_reads(rng, 57)
+        p = str(tmp_path / "t.fastq")
+        fastx.write_fastq(p, reads)
+        plain = list(fastx.read_batches(p, batch_reads=16))
+        st = fastx.IngestStats()
+        over = list(fastx.read_batches_overlapped(
+            p, batch_reads=16, stats=st, to_device=to_device))
+        assert len(over) == len(plain)
+        for (ba, ia), (bb, ib) in zip(plain, over):
+            np.testing.assert_array_equal(np.asarray(ba.words),
+                                          np.asarray(bb.words))
+            np.testing.assert_array_equal(np.asarray(ba.lengths),
+                                          np.asarray(bb.lengths))
+            np.testing.assert_array_equal(ia, ib)
+        assert st.n_bases == sum(len(r) for r in reads)
+
+    def test_overlapped_propagates_errors(self, tmp_path):
+        p = str(tmp_path / "missing.fastq")
+        with pytest.raises(Exception):
+            list(fastx.read_batches_overlapped(p, to_device=True))
+
     def test_batch_capacity_cap(self, rng, tmp_path):
         # padded rows x width never exceeds ~8M bases; an ultra-long read
         # still fits (alone in an over-cap batch) and short reads batch wide
