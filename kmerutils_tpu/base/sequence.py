@@ -228,11 +228,14 @@ class ReadBatch:
 
 
 def pack_codes(codes: np.ndarray, lengths: np.ndarray | None = None,
-               min_words: int | None = None) -> ReadBatch:
+               min_words: int | None = None,
+               as_numpy: bool = False) -> ReadBatch:
     """Pack per-base 2-bit codes [n_reads, max_len] (numpy) into a ReadBatch.
 
     Padding positions (>= length) must already be 0, or lengths given so we
-    can zero them here.
+    can zero them here.  ``as_numpy=True`` keeps the arrays on the host
+    (no device transfer) — the ingest pipeline's dedicated upload stage
+    then owns the transfer (io/fastx.read_batches_overlapped).
     """
     codes = np.asarray(codes, dtype=np.uint8)
     if codes.ndim == 1:
@@ -252,6 +255,8 @@ def pack_codes(codes: np.ndarray, lengths: np.ndarray | None = None,
     c = padded.reshape(n, n_words, BASES_PER_WORD).astype(np.uint32)
     shifts = (30 - 2 * np.arange(BASES_PER_WORD, dtype=np.uint32))
     words = np.bitwise_or.reduce(c << shifts[None, None, :], axis=2).astype(np.uint32)
+    if as_numpy:
+        return ReadBatch(words=words, lengths=lengths)
     return ReadBatch(words=jnp.asarray(words), lengths=jnp.asarray(lengths))
 
 

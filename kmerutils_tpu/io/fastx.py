@@ -140,7 +140,8 @@ def read_batches(path: str, batch_reads: int = 10000,
                  stats: IngestStats | None = None,
                  bucket: bool = True,
                  quantize: bool = True,
-                 packed: bool = True):
+                 packed: bool = True,
+                 to_host: bool = False):
     """Yield (ReadBatch, read_indices) of at most ``batch_reads`` reads each.
 
     max_len: clip/segment longer reads is NOT done here — a longer read forces
@@ -168,6 +169,12 @@ def read_batches(path: str, batch_reads: int = 10000,
     words across threads, so batch assembly is a row copy of words instead
     of a byte-code matrix plus a python repack (~4x less host memcpy, no
     numpy packing pass).  Batches are identical either way.
+
+    ``to_host=True`` yields ReadBatch pytrees of HOST numpy arrays instead
+    of device arrays: no transfer happens at all.  This is what
+    read_batches_overlapped's upload stage wants (the transfer then lives
+    ONLY in its dedicated device_put thread, truly overlapping parse with
+    upload) and what shape-discovery passes want (free).
     """
     import jax.numpy as jnp
 
@@ -231,14 +238,15 @@ def read_batches(path: str, batch_reads: int = 10000,
                 for i, (w, ln) in enumerate(group):
                     words[i, : w.size] = w
                     lengths[i] = ln
-                batch = ReadBatch(words=jnp.asarray(words),
-                                  lengths=jnp.asarray(lengths))
+                batch = ReadBatch(
+                    words=words if to_host else jnp.asarray(words),
+                    lengths=lengths if to_host else jnp.asarray(lengths))
             else:
                 codes = np.zeros((n, L), dtype=np.uint8)
                 for i, (c, ln) in enumerate(group):
                     codes[i, :ln] = c
                     lengths[i] = ln
-                batch = pack_codes(codes, lengths)
+                batch = pack_codes(codes, lengths, as_numpy=to_host)
             yield batch, np.array([indices[i] for i in sel])
             start += take
         window, indices = [], []
@@ -292,8 +300,10 @@ def read_batches_overlapped(path: str, queue_depth: int = 3,
     caller while it serializes onto the link (~batch_bytes/link_bw plus a
     fixed RTT), so putting it in the PARSE thread re-serializes parse and
     upload (measured: e2e count ingest_wait == parse_s + upload_s exactly);
-    in its own stage parse rides under the upload.  queue_depth bounds
-    each stage's queue (and so in-flight device batch buffers).
+    in its own stage parse rides under the upload.  To that end the parse
+    stage runs read_batches(to_host=True): it assembles pure-numpy batches
+    and the device transfer happens ONLY in the upload thread.  queue_depth
+    bounds each stage's queue (and so in-flight device batch buffers).
     """
     import queue as _queue
     import threading
@@ -311,6 +321,7 @@ def read_batches_overlapped(path: str, queue_depth: int = 3,
 
     if to_device:
         import jax
+        kw.setdefault("to_host", True)  # parse stage stays device-free
         q0: _queue.Queue = _queue.Queue(maxsize=queue_depth)
 
         def upload_worker():

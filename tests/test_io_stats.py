@@ -74,6 +74,24 @@ class TestFastx:
             np.testing.assert_array_equal(ia, ib)
         assert st.n_bases == sum(len(r) for r in reads)
 
+    def test_to_host_batches_stay_numpy(self, rng, tmp_path):
+        # to_host=True must yield pure-host numpy batches (zero transfers:
+        # the overlapped pipeline's upload stage owns the device_put) with
+        # content identical to the default device stream
+        reads = make_reads(rng, 23)
+        p = str(tmp_path / "t.fastq")
+        fastx.write_fastq(p, reads)
+        host = list(fastx.read_batches(p, batch_reads=8, to_host=True))
+        dev = list(fastx.read_batches(p, batch_reads=8))
+        assert len(host) == len(dev) > 0
+        for (bh, ih), (bd, id_) in zip(host, dev):
+            assert isinstance(bh.words, np.ndarray)
+            assert isinstance(bh.lengths, np.ndarray)
+            np.testing.assert_array_equal(bh.words, np.asarray(bd.words))
+            np.testing.assert_array_equal(bh.lengths,
+                                          np.asarray(bd.lengths))
+            np.testing.assert_array_equal(ih, id_)
+
     def test_overlapped_propagates_errors(self, tmp_path):
         p = str(tmp_path / "missing.fastq")
         with pytest.raises(Exception):
