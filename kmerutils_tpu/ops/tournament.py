@@ -102,9 +102,9 @@ def _tournament_kernel(slotc_ref, items_ref, winv_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m", "seed", "interpret",
+                   static_argnames=("m", "interpret",
                                     "return_positions"))
-def weighted_tournament(items32, winv, m: int, seed: int = 0,
+def weighted_tournament(items32, winv, m: int, seed=0,
                         interpret: bool = False,
                         return_positions: bool = False):
     """sig u32[n, m] — items32 u32[n, P], winv f32[n, P] (<= 0 marks invalid).
@@ -216,8 +216,8 @@ def _tournament_kernel_u64(slotc_ref, lo_ref, hi_ref, winv_ref, out_ref):
             pltpu.bitcast(hi_w, U32) ^ U32(0x80000000))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "seed", "interpret"))
-def weighted_tournament_u64(lo, hi, winv, m: int, seed: int = 0,
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def weighted_tournament_u64(lo, hi, winv, m: int, seed=0,
                             interpret: bool = False):
     """Wide-item tournament: (lo, hi) u32[n, P] halves of u64 items,
     winv f32[n, P] (<= 0 invalid).  Returns (lo_win, hi_win) u32[n, m].

@@ -491,14 +491,16 @@ class ShardedStreamCounter:
                  count_clamp: int | None = None):
         """Single-process whole-pool union (keys ascending).  Also fetches
         the in-transit drop accumulator into ``dropped_in_transit``."""
+        if jax.process_count() > 1:
+            # guard BEFORE finalize_local: it folds and can spill — wasted
+            # work and side effects on the error path otherwise
+            raise RuntimeError("finalize needs all shards addressable; "
+                               "use finalize_local per process")
         if not isinstance(self.dropped_in_transit, int):
             self.dropped_in_transit = int(
                 np.asarray(self.dropped_in_transit).sum())
         parts = list(self.finalize_local(min_count, max_count,
                                          count_clamp).values())
-        if jax.process_count() > 1:
-            raise RuntimeError("finalize needs all shards addressable; "
-                               "use finalize_local per process")
         keys = np.concatenate([p[0] for p in parts])
         counts = np.concatenate([p[1] for p in parts])
         rn = np.concatenate([p[2] for p in parts])

@@ -36,7 +36,7 @@ F32 = jnp.float32
 INF = np.float32(np.inf)
 
 
-def _oph_buckets(items, valid, m: int, seed: int):
+def _oph_buckets(items, valid, m: int, seed):
     """Base one-permutation hashing: per-read bucket minima [n, m] f32
     (empty buckets = +inf).
 
@@ -45,17 +45,19 @@ def _oph_buckets(items, valid, m: int, seed: int):
     compute speed; the scatter-min formulation measures ~25x slower on TPU.
     """
     items = jnp.asarray(items, U64)
-    h = splitmix64(items ^ np.uint64(
-        (seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF))
+    s64 = jnp.asarray(seed).astype(U64)
+    h = splitmix64(items ^ (s64 * U64(0x9E3779B97F4A7C15) + U64(1)))
     bucket = (h % U64(m)).astype(jnp.int32)
     val = uniform01_f32_from_bits((h >> U64(32)).astype(jnp.uint32))
     hit = (bucket[..., None] == jnp.arange(m, dtype=jnp.int32)) & valid[..., None]
     return jnp.min(jnp.where(hit, val[..., None], INF), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "seed", "max_rounds"))
-def optdens_signatures(items, valid, m: int, seed: int = 0, max_rounds: int = 256):
-    """OPTDENS signatures f32[n, m] (+ empty flag)."""
+@functools.partial(jax.jit, static_argnames=("m", "max_rounds"))
+def optdens_signatures(items, valid, m: int, seed=0, max_rounds: int = 256):
+    """OPTDENS signatures f32[n, m] (+ empty flag).  ``seed`` is traced
+    (one compile across a seed sweep; values identical to the old
+    static-int derivation)."""
     mins = _oph_buckets(items, valid, m, seed)
     filled0 = jnp.isfinite(mins)
     any_filled = filled0.any(axis=1)
@@ -69,7 +71,8 @@ def optdens_signatures(items, valid, m: int, seed: int = 0, max_rounds: int = 25
     def body(state):
         sig, t = state
         probe = (splitmix64(j ^ (U64(t) * U64(0x9E3779B97F4A7C15))
-                            ^ np.uint64(seed * 77 + 13)) % U64(m)).astype(jnp.int32)
+                            ^ (jnp.asarray(seed).astype(U64) * U64(77)
+                               + U64(13))) % U64(m)).astype(jnp.int32)
         # value of the probed bucket, but only if ORIGINALLY filled
         src_val = jnp.take_along_axis(
             jnp.where(filled0, sig, INF), jnp.broadcast_to(probe, sig.shape), axis=1)
@@ -80,8 +83,8 @@ def optdens_signatures(items, valid, m: int, seed: int = 0, max_rounds: int = 25
     return sig, ~any_filled
 
 
-@functools.partial(jax.jit, static_argnames=("m", "seed", "max_rounds"))
-def revoptdens_signatures(items, valid, m: int, seed: int = 0, max_rounds: int = 256):
+@functools.partial(jax.jit, static_argnames=("m", "max_rounds"))
+def revoptdens_signatures(items, valid, m: int, seed=0, max_rounds: int = 256):
     """REVOPTDENS signatures f32[n, m] (+ empty flag): filled buckets push
     their values into empty ones, min-combining — one scatter-min per round."""
     mins = _oph_buckets(items, valid, m, seed)
@@ -98,7 +101,8 @@ def revoptdens_signatures(items, valid, m: int, seed: int = 0, max_rounds: int =
     def body(state):
         sig, t = state
         tgt = (splitmix64(j ^ (U64(t) * U64(0xD1B54A32D192ED03))
-                          ^ np.uint64(seed * 31 + 7)) % U64(m)).astype(jnp.int32)
+                          ^ (jnp.asarray(seed).astype(U64) * U64(31)
+                             + U64(7))) % U64(m)).astype(jnp.int32)
         tgt2 = jnp.broadcast_to(tgt, sig.shape)
         # originally-filled buckets propose their value to target buckets
         prop = jnp.where(filled0, sig, INF)

@@ -54,11 +54,11 @@ I32 = jnp.int32
 SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _slot_consts(m: int, seed: int):
-    # wraparound multiply intended: do it in Python ints and mask so numpy
-    # never sees (or warns on) a scalar overflow
-    off = (int(seed) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    s = splitmix64(jnp.arange(m, dtype=np.uint64) + np.uint64(off))
+def _slot_consts(m: int, seed):
+    # wraparound multiply intended (u64 mul == the old host-int + mask);
+    # seed is TRACED so a seed sweep costs one compile, not one per seed
+    off = jnp.asarray(seed).astype(U64) * U64(0x9E3779B97F4A7C15)
+    s = splitmix64(jnp.arange(m, dtype=np.uint64) + off)
     return (s >> U64(32)).astype(U32)
 
 
@@ -89,7 +89,7 @@ def _neg_log_u24(h_u32):
     return -jnp.log(u)
 
 
-def _tournament(items, winv, valid, m: int, seed: int):
+def _tournament(items, winv, valid, m: int, seed):
     """Fused weighted argmin-of-exponentials over positions, per slot.
 
     items [n, P] u32/u64, winv f32 [n, P] (1/multiplicity), valid bool [n, P].
@@ -150,9 +150,9 @@ def _tournament(items, winv, valid, m: int, seed: int):
     return jnp.where(empty[:, None], jnp.zeros((), items.dtype), sig), empty
 
 
-@functools.partial(jax.jit, static_argnames=("m", "heavy_cap", "seed"))
+@functools.partial(jax.jit, static_argnames=("m", "heavy_cap"))
 def probminhash_signatures(items, weights, m: int, heavy_cap: int = 0,
-                           seed: int = 0):
+                           seed=0):
     """Per-read ProbMinHash signatures from slot-aligned (item, weight) pairs.
 
     items:   uint64/uint32[n, P] — hashed kmer value per position (the fhash
@@ -192,7 +192,7 @@ def _run_multiplicities(sorted_items, is_real):
     return next_start - start
 
 
-@functools.partial(jax.jit, static_argnames=("m", "heavy_cap", "seed"))
+@functools.partial(jax.jit, static_argnames=("m", "heavy_cap"))
 def probminhash_from_items(items, valid, m: int, heavy_cap: int = 0,
                            seed: int = 0):
     """Fused fast path: multiplicities derived internally by one sort.

@@ -54,13 +54,14 @@ class SetSketchParams:
         return jnp.uint64
 
 
-@functools.partial(jax.jit, static_argnames=("params", "seed"))
-def setsketch_signatures(items, valid, params: SetSketchParams, seed: int = 0):
+@functools.partial(jax.jit, static_argnames=("params",))
+def setsketch_signatures(items, valid, params: SetSketchParams, seed=0):
     """Per-read SetSketch registers [n, m] (integer dtype per params.q).
 
     items uint64/uint32[n, P], valid bool[n, P].  One fused u32-hash +
     draw + max-reduction over positions (the same shape as the ProbMinHash
-    tournament) — the [n, P, m] grid never reaches HBM.
+    tournament) — the [n, P, m] grid never reaches HBM.  ``seed`` is
+    traced (one compile across a seed sweep).
     """
     items = jnp.asarray(items)
     if items.dtype == jnp.uint64:
@@ -70,7 +71,8 @@ def setsketch_signatures(items, valid, params: SetSketchParams, seed: int = 0):
     m = params.m
     c = jnp.uint32
     salts = (mix2_64(jnp.arange(m, dtype=np.uint64),
-                     np.uint64(seed * 2 + 1)) >> U64(32)).astype(c)
+                     jnp.asarray(seed).astype(U64) * U64(2) + U64(1))
+             >> U64(32)).astype(c)
     # The register value is a monotone NON-DECREASING function of the
     # uniform draw u (e = -ln u decreases in u, log_b(a/e) increases), and
     # u is monotone in the raw u32 hash.  So max over positions of val(u)

@@ -91,21 +91,23 @@ def _fold32(items):
     return items.astype(U32)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "seed"))
-def superminhash2(items, valid, m: int, seed: int = 0):
+@functools.partial(jax.jit, static_argnames=("m",))
+def superminhash2(items, valid, m: int, seed=0):
     """Integer-signature SuperMinHash (SUPER2): sig uint32[n, m] — the packed
     (pi << u_bits | u) key of the winning item per slot.
 
-    items uint64/uint32[n, P], valid bool[n, P].
+    items uint64/uint32[n, P], valid bool[n, P].  ``seed`` is a TRACED
+    uint64 scalar (wrapping math — identical values to the old host-int
+    derivation), so sweeping seeds costs one compile, not one per seed.
     """
     it32 = _fold32(items)
     pi_bits = _perm_bits(m)
     u_bits = 32 - pi_bits
+    s64 = jnp.asarray(seed).astype(U64)
 
     # per-item permutation key (a, b) and per-slot uniform draw
     kd = splitmix64(jnp.asarray(items).astype(U64)
-                    ^ np.uint64((seed * 0x9E3779B97F4A7C15 + 0x51)
-                                & 0xFFFFFFFFFFFFFFFF))
+                    ^ (s64 * U64(0x9E3779B97F4A7C15) + U64(0x51)))
     a = (kd >> U64(32)).astype(U32) | U32(1)
     b = kd.astype(U32)
     nbits = _perm_bits(m)
@@ -118,8 +120,7 @@ def superminhash2(items, valid, m: int, seed: int = 0):
 
     c = U32
     sc = (splitmix64(jnp.arange(m, dtype=np.uint64)
-                     + np.uint64((seed * 0x632BE59B)
-                                 & 0xFFFFFFFFFFFFFFFF))
+                     + s64 * U64(0x632BE59B))
           >> U64(32)).astype(U32)
     h = (it32[..., None] ^ sc) * c(0x85EBCA77)
     h = h ^ (h >> c(13))
@@ -134,8 +135,8 @@ def superminhash2(items, valid, m: int, seed: int = 0):
     return jnp.where(empty[:, None], SENTINEL32, sig), empty
 
 
-@functools.partial(jax.jit, static_argnames=("m", "seed"))
-def superminhash(items, valid, m: int, seed: int = 0):
+@functools.partial(jax.jit, static_argnames=("m",))
+def superminhash(items, valid, m: int, seed=0):
     """Float-signature SuperMinHash (SUPER; Sig = f64 in the reference):
     sig[j] = pi + u / 2^u_bits in [0, m) — an exact monotone transform of
     the packed integer signature, so both flavors estimate identically."""

@@ -7,8 +7,11 @@ step (collective.sharded_count), the signature all-gather
 (collective.gather_signatures), and the PRODUCTION streaming path
 (parallel/stream.ShardedStreamCounter — Pallas merge-fold tables with LSM
 staging) over >=3 batches at both key widths with coordinates on, each
-verified against a replicated host oracle.  SURVEY.md §7 step 7's
-CPU-testable slice of the multi-host story.
+verified against a replicated host oracle — plus one forced GROWTH epoch
+and one forced SPILL epoch of that production path (tiny caps), so the
+ladder + disk-segment machinery is exercised across the 2-process
+boundary too.  SURVEY.md §7 step 7's CPU-testable slice of the
+multi-host story.
 
 Usage: python multihost_worker.py <pid> <nproc> <coord_port> <out_dir>
 """
@@ -124,23 +127,11 @@ def main():
 
     owned_rows = set(range(pid * (n_dev // nproc),
                            (pid + 1) * (n_dev // nproc)))
-    for kk_, wide in ((13, False), (21, True)):
-        rng2 = np.random.default_rng(11)    # same stream in every process
-        ctr = pstream.ShardedStreamCounter(mesh, 1 << 12, wide=wide,
-                                           coords=True, depth=1)
-        all_reads, offset = [], 0
-        for b in range(3):
-            rr = ["".join(rng2.choice(list("ACGT"), size=160))
-                  for _ in range(n_dev)]
-            if b:
-                rr[0] = all_reads[0]        # cross-batch duplicates
-            all_reads.extend(rr)
-            ctr.update(make_gbatch(rr), kk_, read_num_offset=offset)
-            offset += len(rr)
-        local = ctr.finalize_local()
+
+    def check_owned_shards(local, all_reads, kk_):
+        """Per-shard oracle: counts + first-occurrence coords of the rows
+        this process owns must equal the replicated host Counter."""
         assert set(local) == owned_rows, (set(local), owned_rows)
-        # oracle: full-collection counts + first coords, restricted to the
-        # shards this process owns
         oc = collections.Counter()
         first = {}
         for r, s in enumerate(all_reads):
@@ -167,6 +158,47 @@ def main():
                                     rn.tolist(), ps.tolist()):
                 got[int(v)] = (int(c), int(r_), int(p_))
         assert got == want, (kk_, len(got), len(want))
+
+    for kk_, wide in ((13, False), (21, True)):
+        rng2 = np.random.default_rng(11)    # same stream in every process
+        ctr = pstream.ShardedStreamCounter(mesh, 1 << 12, wide=wide,
+                                           coords=True, depth=1)
+        all_reads, offset = [], 0
+        for b in range(3):
+            rr = ["".join(rng2.choice(list("ACGT"), size=160))
+                  for _ in range(n_dev)]
+            if b:
+                rr[0] = all_reads[0]        # cross-batch duplicates
+            all_reads.extend(rr)
+            ctr.update(make_gbatch(rr), kk_, read_num_offset=offset)
+            offset += len(rr)
+        check_owned_shards(ctr.finalize_local(), all_reads, kk_)
+
+    # 4. growth + spill epochs across the process boundary: tables start
+    # too small (1<<11/device), the replicated lag-1 grow hint must step
+    # the ladder (kmercount.rs:297-307 capacity role), and once topped out
+    # (cap_max 1<<12) each process must spill ITS shards to disk segments;
+    # the k-way merge in finalize_local restores exact counts + coords
+    # (kmercount.rs:546-565 pool-union semantics).
+    rng3 = np.random.default_rng(23)        # same stream in every process
+    ctr = pstream.ShardedStreamCounter(
+        mesh, 1 << 11, wide=False, coords=True,
+        cap_max_per_device=1 << 12, depth=0, spill=True,
+        spill_dir=out_dir)
+    all_reads, offset = [], 0
+    for b in range(14):
+        rr = ["".join(rng3.choice(list("ACGT"), size=400))
+              for _ in range(n_dev)]
+        all_reads.extend(rr)
+        ctr.update(make_gbatch(rr), 13, read_num_offset=offset)
+        offset += len(rr)
+    assert ctr.table.cap > (1 << 11), \
+        "growth ladder never fired across the process boundary"
+    local = ctr.finalize_local()
+    assert ctr.spill_stores, \
+        "spill never triggered across the process boundary"
+    check_owned_shards(local, all_reads, 13)
+    ctr.close()
 
     with open(os.path.join(out_dir, f"ok.{pid}"), "w") as f:
         f.write("ok")

@@ -1,6 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
 
 import collections
+import os
 
 import numpy as np
 import pytest
@@ -13,6 +14,15 @@ from kmerutils_tpu.count import exact
 from kmerutils_tpu.parallel import mesh as kmesh, collective
 from kmerutils_tpu.sketch.setsketch import SetSketchParams
 from kmerutils_tpu.sketch import setsketch
+
+
+FULL_MATRIX = bool(os.environ.get("KMERUTILS_FULL_MATRIX"))
+
+
+def _mx(slim, extra):
+    """Slim default (one config per regime); KMERUTILS_FULL_MATRIX=1
+    restores the full matrix (VERDICT r3 #6)."""
+    return slim + extra if FULL_MATRIX else slim
 
 
 def revcomp_str(s):
@@ -135,7 +145,7 @@ class TestShardedStreamCounter:
     """The production multi-chip streaming engine (parallel/stream.py):
     LSM staging, growth ladder, spill — oracle-verified on the 8-dev mesh."""
 
-    @pytest.mark.parametrize("k,depth", [(13, 2), (21, 1)])
+    @pytest.mark.parametrize("k,depth", _mx([(21, 1)], [(13, 2)]))
     def test_staged_matches_oracle(self, rng, mesh8, k, depth):
         from kmerutils_tpu.parallel import stream as pstream
         all_reads = []
@@ -216,8 +226,8 @@ class TestShardedStreamCounter:
 
 
 class TestShardedStream:
-    @pytest.mark.parametrize("k,coords", [(13, False), (13, True),
-                                          (21, True)])
+    @pytest.mark.parametrize("k,coords", _mx([(21, True)],
+                                             [(13, False), (13, True)]))
     def test_matches_oracle_across_batches(self, rng, mesh8, k, coords):
         # multi-chip streaming through the Pallas merge-fold tables: two
         # sequential batches, per-shard disjoint tables, host union ==
