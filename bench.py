@@ -439,6 +439,12 @@ def bench_link_bandwidth():
 def main():
     rng = np.random.default_rng(42)
     ex = OUT["extra"]
+    # alive marker BEFORE any device contact: the tunneled backend's first
+    # claim/compile RPC can stall for many minutes (measured 571 s once),
+    # and a record with value 0 + this marker beats an empty tail
+    ex["note"] = ("sections emit incrementally; value=0 means the device "
+                  "stalled before the first section completed")
+    _emit()
 
     def sec_link():
         up, down = bench_link_bandwidth()

@@ -9,11 +9,20 @@ over independent seeds for BOTH samplers against the exact Jaccard, plus the
 binomial reference sd; for SetSketch it also reports cardinality-estimator
 agreement and the register-law fit.
 
-Run (any backend; small shapes):
+Run (small shapes; forces the CPU backend so it never contends with TPU
+work — the ambient axon sitecustomize overrides JAX_PLATFORMS env edits,
+so the config update below is required, same as tests/conftest.py):
   PYTHONPATH=/root/repo:$PYTHONPATH python tools/golden_parity.py
 """
 
+import os
+
 import numpy as np
+
+import jax
+
+if os.environ.get("KMERUTILS_PARITY_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import kmerutils_tpu  # noqa: F401
 from kmerutils_tpu.sketch import golden, superminhash, densminhash, setsketch
