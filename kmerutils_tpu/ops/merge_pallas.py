@@ -349,13 +349,15 @@ def merge_path_partition_dyn(a_arrs, b_arrs, na, nb: int, d, iters: int):
 def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
     """Fold-merge tile: identical merge math to :func:`_merge_kernel`, plus
     (a) inputs/outputs already in the persistent flipped-i32 layout,
-    (b) a dead-tile fast path — tiles whose output range starts at or past
-    the live merged length (scal_ref[n_tiles+1]) do NOTHING: no input DMA,
-    no merge network, and (round 3) no output DMA either — outputs live in
-    ANY memory space and each live tile copies its own block out, so a
-    fold's HBM traffic is O(live tiles), not O(capacity).  Dead regions
-    keep whatever the (donated) buffer held; every consumer masks by
-    ``used`` — and
+    (b) an O(live) launch envelope — the grid is DYNAMICALLY bounded to
+    the live output tiles (round 4; scal_ref[0] carries the live merged
+    length), so dead tiles are never dispatched at all: no input DMA, no
+    merge network, no output DMA — outputs live in ANY memory space and
+    each live tile copies its own block out, so a fold's HBM traffic AND
+    grid dispatch are O(live tiles), not O(capacity).  Dead regions keep
+    whatever the (donated) buffer held; every consumer masks by ``used``
+    (the in-kernel d0 < end guard remains as a final-partial-tile
+    belt-and-braces) — and
     (c) double-buffered input DMA: each live tile prefetches the NEXT live
     tile's windows while computing, hiding the load latency.  The two
     buffer sets are selected STATICALLY by tile parity (pl.when on t&1) —
@@ -368,13 +370,26 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
     scr = refs[3 * narr : 7 * narr]     # [set0: a x narr, b x narr | set1]
     ost = refs[7 * narr : 8 * narr]     # output staging (T,) x narr
     sems = refs[8 * narr]               # (5*narr,): 4*narr input + narr out
-    t = pl.program_id(0)
+    it = pl.program_id(0)
+    # BACKWARD tile order: iteration 0 processes the LAST live tile.  The
+    # output buffers ALIAS the a-side table buffers (in-place fold, round
+    # 4 — jit-level donation could not alias through the custom call and
+    # degenerated into an O(capacity) copy per fold, measured 310 GB/s of
+    # pure copy).  Merging back-to-front is the classic in-place-safe
+    # order: tile t writes output [d0, d0+T) and every LATER iteration
+    # (tile < t) reads a-positions < x_{t} <= d0; window tails that do
+    # reach past d0 cover a-positions >= the reader's x1 boundary, which
+    # its merge math clips away — so no write ever lands on bytes a later
+    # tile consumes.
+    t = pl.num_programs(0) - 1 - it
     d0 = t * I32(T)
-    end = scal_ref[pl.num_programs(0) + 1]      # used + batch_live
+    end = scal_ref[0]                  # used + batch_live (scal[0]; the
+    #                                    grid is DYNAMIC, so the end slot
+    #                                    lives at a fixed index up front)
 
     def tile_copies(tt, s):
         """Copy descriptors loading tile tt's windows into buffer set s."""
-        x0 = scal_ref[tt]
+        x0 = scal_ref[1 + tt]
         y0 = tt * I32(T) - x0
         xq = (x0 >> I32(10)) << I32(10)
         yq = (y0 >> I32(10)) << I32(10)
@@ -392,21 +407,21 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
         return cs
 
     def live_body(s):
-        @pl.when(t == 0)
+        @pl.when(it == 0)
         def _first():
             for c in tile_copies(t, s):
                 c.start()
 
-        @pl.when(d0 + I32(T) < end)
+        @pl.when(t > 0)
         def _prefetch():
-            for c in tile_copies(t + 1, 1 - s):
+            for c in tile_copies(t - 1, 1 - s):
                 c.start()
 
         for c in tile_copies(t, s):
             c.wait()
 
-        x0 = scal_ref[t]
-        x1 = scal_ref[t + 1]
+        x0 = scal_ref[1 + t]
+        x1 = scal_ref[t + 2]
         y0 = d0 - x0
         y1_ = d0 + I32(T) - x1
         xq = (x0 >> I32(10)) << I32(10)
@@ -429,11 +444,11 @@ def _merge_fold_kernel(scal_ref, *refs, narr, ncmp, P, nb_p):
         for c in ocs:
             c.wait()
 
-    @pl.when((d0 < end) & ((t & I32(1)) == 0))
+    @pl.when((d0 < end) & ((it & I32(1)) == 0))
     def _live_even():
         live_body(0)
 
-    @pl.when((d0 < end) & ((t & I32(1)) == 1))
+    @pl.when((d0 < end) & ((it & I32(1)) == 1))
     def _live_odd():
         live_body(1)
 
@@ -481,16 +496,25 @@ def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
     # length stay consistent (tiles there are skipped / emit sentinels)
     d = jnp.minimum(jnp.arange(n_tiles + 1, dtype=I32) * I32(T),
                     used + I32(nb_p))
+    # the search bracket per boundary is at most min(capacity, nb) wide,
+    # so bit_length(min(...)) iterations always converge
     a_starts = merge_path_partition_dyn(
         a_arrs[:ncmp], [b[::-1] for b in b_arrs[:ncmp]], used, nb_p, d,
-        iters=max(int(capacity).bit_length(), 1))
-    scal = jnp.concatenate([a_starts, end_total[None]])
+        iters=max(min(int(capacity), nb_p).bit_length(), 1))
+    scal = jnp.concatenate([end_total[None], a_starts])
 
+    # DYNAMIC grid: launch only the live output tiles (ceil(end/T)) — dead
+    # tiles previously cost ~2-4 us of grid dispatch each, which made a
+    # 2^28-capacity fold 2.2x a 2^26 one at EQUAL live count
+    # (tools/kernel_bench.py); with the dynamic bound, fold cost is
+    # O(live) in dispatch as well as DMA
+    live_tiles = jnp.minimum((end_total + I32(T - 1)) // I32(T),
+                             I32(n_tiles))
     kern = functools.partial(_merge_fold_kernel, narr=narr, ncmp=ncmp, P=P,
                              nb_p=nb_p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(live_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * narr),
         # ANY outputs + manual per-live-tile copy-out: dead tiles past the
         # merged length issue NO output DMA, so fold HBM traffic scales
@@ -506,6 +530,15 @@ def merge_fold_i32(a_arrs, b_arrs, used, batch_live, *, ncmp: int,
             kern,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((Lp,), I32)] * narr,
+            # table buffers fold IN PLACE (operand 1+j is a_arrs[j]; 0 is
+            # the scal prefetch).  Composed with the callers' jit-level
+            # donation this makes a fold ZERO-copy — without the aliasing
+            # declaration XLA cannot alias through the custom call and
+            # inserts a full O(capacity) copy of every donated table
+            # buffer (measured: fold 9.1 ms vs 2.3 ms at 2^28, pure copy
+            # at ~310 GB/s).  Dead regions now literally keep the donated
+            # buffer's bytes, which is the documented layout contract.
+            input_output_aliases={1 + j: j for j in range(narr)},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=_interpret(),
@@ -957,11 +990,16 @@ def aggregate_fold_i32(arrs, used, *, kw: int, coords: bool,
     n_tiles = -(-s_phys // T) + 1
     used = jnp.asarray(used, I32)
 
+    # DYNAMIC grid: the data tiles covering [0, used) plus ONE flush tile
+    # (a pending carry can only extend one tile past the data — the same
+    # bound the static +1 grid encoded); dead tiles beyond never launch
+    live_tiles = jnp.minimum((used + I32(T - 1)) // I32(T) + I32(1),
+                             I32(n_tiles))
     kern = functools.partial(_aggfold_kernel, narr=narr, kw=kw, T=T,
                              lo=lo, hi=hi, coords=coords)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(live_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * narr
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
