@@ -322,7 +322,10 @@ def e2e_sketch(path, bucket):
         last = sk.sketch_batch(batch)
         t = time.perf_counter(); t_disp += t - t2
     t3 = time.perf_counter()
-    _ = np.asarray(last)[0, 0]
+    # scalar slice BEFORE the host fetch: np.asarray(last)[0, 0] pulls the
+    # whole ~8 MB signature batch through the ~20 MB/s tunnel (~0.4 s of
+    # pure transfer inside "final sync")
+    _ = int(np.asarray(last[0, 0]))
     t_sync = time.perf_counter() - t3
     dt = time.perf_counter() - t0
     phases = {"ingest_wait_s": round(t_wait, 3),

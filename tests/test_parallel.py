@@ -145,6 +145,27 @@ class TestShardedStreamCounter:
     """The production multi-chip streaming engine (parallel/stream.py):
     LSM staging, growth ladder, spill — oracle-verified on the 8-dev mesh."""
 
+    def test_program_cache_shared_across_instances(self, mesh8):
+        # two counters on the same mesh MUST reuse the same jitted
+        # executables (a second instance used to re-trace and re-compile
+        # the whole family — 29 s of duplicated compile CPU measured on
+        # the 2-process harness, SCALING.md round 4)
+        from kmerutils_tpu.count import stream
+        from kmerutils_tpu.parallel import stream as pstream
+        a = pstream.ShardedStreamCounter(mesh8, 1 << 12, depth=0)
+        b = pstream.ShardedStreamCounter(mesh8, 1 << 12, depth=0)
+        assert a._get_fold(128) is b._get_fold(128)
+        assert a._get_merge(2) is b._get_merge(2)
+        assert (pstream.make_hint_reduce(mesh8)
+                is pstream.make_hint_reduce(mesh8))
+        assert (pstream.make_exchange(mesh8, 16, False, False)
+                is pstream.make_exchange(mesh8, 16, False, False))
+        # distinct static params => distinct programs
+        wide_t = stream.StreamCountTable.create(1 << 12, wide=True,
+                                                coords=False)
+        assert (pstream.make_fold(mesh8, wide_t)
+                is not a._get_fold(128))
+
     @pytest.mark.parametrize("k,depth", _mx([(21, 1)], [(13, 2)]))
     def test_staged_matches_oracle(self, rng, mesh8, k, depth):
         from kmerutils_tpu.parallel import stream as pstream
