@@ -384,7 +384,11 @@ def e2e_count(path, bucket, cap=1 << 26):
             # fetch costs one tunnel RTT, so sample sparsely
             n_folds += 1
             pending.append(folder.table.used)
-            if n_folds % 16 == 0:
+            # folds are in-place (zero-copy) since round 4, so queued folds
+            # hold no extra table buffers; the lagged fetch only bounds
+            # queued PREP outputs (~50 MB/batch) — sample sparsely, each
+            # fetch costs a tunnel RTT
+            if n_folds % 32 == 0:
                 t4 = time.perf_counter()
                 int(np.asarray(pending.pop(0)))
                 pending = pending[-1:]
