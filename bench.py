@@ -419,6 +419,35 @@ def e2e_count(path, bucket, cap=1 << 26):
     return st.n_bases / dt / 1e6, phases
 
 
+def bench_aa_sketch(rng):
+    """AA (5-bit) ProbMinHash rate in M amino acids/s — the
+    SeqSketcherAAT twin path (aa/kmeraa.py; reference
+    aautils/setsketchert.rs:78-203).  Synthetic 1024 x 2048-aa batch,
+    k=6 (KmerAA32bit regime), m=200."""
+    from kmerutils_tpu.aa.kmeraa import AABatch, SketcherAA
+    from kmerutils_tpu.sketch.params import (SeqSketcherParams, SketchAlgo,
+                                             DataType)
+    import jax.numpy as jnp
+
+    n, L = 1024, 2048
+    codes = rng.integers(1, 21, size=(n, L), dtype=np.uint8)  # 20 AAs, 1-based
+    batch = AABatch(codes=jnp.asarray(codes),
+                    lengths=jnp.full(n, L, jnp.int32))
+    sk = SketcherAA(params=SeqSketcherParams(
+        kmer_size=6, sketch_size=M, algo=SketchAlgo.PROB3A,
+        data_t=DataType.AA))
+    jstep = jax.jit(sk.sketch_batch)
+    sig = jstep(batch)
+    _ = int(np.asarray(sig[0, 0]))
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        sig = jstep(batch)
+    _ = int(np.asarray(sig[0, 0]))
+    dt = (time.perf_counter() - t0) / n_iter
+    return n * L / dt / 1e6
+
+
 def bench_link_bandwidth():
     """Host<->device link bandwidth probe (MB/s up, down).  The e2e file
     metrics are bound by this link, which on the tunneled axon backend
@@ -468,6 +497,9 @@ def main():
         ex["stream_count_mkmers_s"] = round(mk, 2)
         ex["stream_count_mbases_s"] = round(mb, 2)
 
+    def sec_aa_sketch():
+        ex["aa_sketch_maa_s"] = round(bench_aa_sketch(rng), 2)
+
     # e2e sections: fixture generation is itself budget-gated (cached in
     # /tmp across rounds, so normally free)
     def sec_e2e_sketch():
@@ -497,6 +529,7 @@ def main():
     _section("link", 30, sec_link)
     _section("sketch", 60, sec_sketch)
     _section("stream_count", 120, sec_stream_count)
+    _section("aa_sketch", 60, sec_aa_sketch)
     _section("e2e_sketch", 120, sec_e2e_sketch)
     _section("e2e_count", 150, sec_e2e_count)
     _section("ont_sketch", 180, sec_ont_sketch)
