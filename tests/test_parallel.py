@@ -192,6 +192,25 @@ class TestShardedStreamCounter:
         for v, r_, p_ in zip(keys.tolist(), rn.tolist(), ps.tolist()):
             assert first[v] == (r_, p_), v
 
+    def test_hint_every_sparse_sampling(self, rng, mesh8):
+        # pre-sized capacity + hint_every>1 (the scaling-tool configuration,
+        # SCALING.md round 4): the hint reduce fires sparsely and counts
+        # stay oracle-exact
+        from kmerutils_tpu.parallel import stream as pstream
+        all_reads = []
+        ctr = pstream.ShardedStreamCounter(mesh8, 1 << 12, coords=False,
+                                           depth=0, hint_every=3)
+        for b in range(5):
+            reads = ["".join(rng.choice(list("ACGT"), size=120))
+                     for _ in range(16)]
+            all_reads.extend(reads)
+            ctr.update(_sharded_batch(reads, mesh8), 13,
+                       read_num_offset=b * 16)
+        keys, counts, _, _, dropped = ctr.finalize()
+        assert dropped == 0
+        assert dict(zip(keys.tolist(), counts.tolist())) == \
+            dict(oracle_counts(all_reads, 13))
+
     def test_growth_ladder(self, rng, mesh8):
         # tables start too small for the stream: the replicated grow hint
         # must fire (lag-1) and capacity must step up without losing counts
