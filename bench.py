@@ -448,6 +448,31 @@ def bench_aa_sketch(rng):
     return n * L / dt / 1e6
 
 
+def bench_hll_collection(rng):
+    """Whole-collection SetSketch/HLL rate (Mbases/s): ONE mergeable
+    signature for a full batch — the reference's block-merge workload
+    (sketch_compressedkmer_seqs, setsketchert.rs:811-895; across a mesh
+    the per-read register merge is a jax.lax.pmax)."""
+    from kmerutils_tpu.sketch.jaccard import Sketcher
+    from kmerutils_tpu.sketch.setsketch import SetSketchParams
+    from kmerutils_tpu.sketch.params import (SeqSketcherParams, SketchAlgo,
+                                             DataType)
+    batch = make_batch(rng)
+    sk = Sketcher(params=SeqSketcherParams(
+        kmer_size=K, sketch_size=4096, algo=SketchAlgo.HLL,
+        data_t=DataType.DNA), setsketch_params=SetSketchParams(m=4096))
+    jstep = jax.jit(sk.sketch_collection)
+    sig = jstep(batch)
+    _ = int(np.asarray(sig[0]))
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        sig = jstep(batch)
+    _ = int(np.asarray(sig[0]))
+    dt = (time.perf_counter() - t0) / n_iter
+    return N_READS * READ_LEN / dt / 1e6
+
+
 def bench_link_bandwidth():
     """Host<->device link bandwidth probe (MB/s up, down).  The e2e file
     metrics are bound by this link, which on the tunneled axon backend
@@ -500,6 +525,9 @@ def main():
     def sec_aa_sketch():
         ex["aa_sketch_maa_s"] = round(bench_aa_sketch(rng), 2)
 
+    def sec_hll_collection():
+        ex["hll_collection_mbases_s"] = round(bench_hll_collection(rng), 2)
+
     # e2e sections: fixture generation is itself budget-gated (cached in
     # /tmp across rounds, so normally free)
     def sec_e2e_sketch():
@@ -530,6 +558,7 @@ def main():
     _section("sketch", 60, sec_sketch)
     _section("stream_count", 120, sec_stream_count)
     _section("aa_sketch", 60, sec_aa_sketch)
+    _section("hll_collection", 60, sec_hll_collection)
     _section("e2e_sketch", 120, sec_e2e_sketch)
     _section("e2e_count", 150, sec_e2e_count)
     _section("ont_sketch", 180, sec_ont_sketch)

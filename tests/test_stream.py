@@ -319,6 +319,26 @@ def test_stream_table_vs_counter(k, coords):
             assert (int(r), int(p)) == exp_coord
 
 
+def test_fold_empty_batch_grid_zero():
+    """An all-dead batch folded into an EMPTY table drives the dynamic
+    live-tile grid to 0 (round 4): the kernel must never launch and the
+    table must stay exactly usable afterwards."""
+    k = 16
+    table = stream.StreamCountTable.create(1 << 13, wide=False, coords=False)
+    reads = _random_reads(6, 60, 200)
+    batch = pack_ascii_reads(reads)
+    arrs, live = stream.batch_entries(batch, k, 0, coords=False)
+    dead = tuple(jnp.full_like(a, 0xFFFFFFFF) for a in arrs)
+    table = stream.fold(table, dead, jnp.zeros_like(live))   # grid == 0
+    assert int(np.asarray(table.used)) == 0
+    table = stream.fold(table, arrs, live)                   # then real data
+    keys, counts, _, _, dropped = stream.finalize(table)
+    assert dropped == 0
+    oracle, _ = _oracle_counts(reads, k)
+    assert dict(zip(keys.tolist(), counts.tolist())) == {
+        kmer_mod.kmer_value_from_str(s): c for s, c in oracle.items()}
+
+
 @pytest.mark.parametrize("k,coords,n_batches", _mx(
     [(16, True, 5), (21, True, 6)],
     [(16, False, 4), (11, False, 7)]))
