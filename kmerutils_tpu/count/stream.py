@@ -466,32 +466,21 @@ def _decode_delta_keys(key_dev, d16, anchors, info, wide: bool, n: int):
     return keys
 
 
-def finalize(table: StreamCountTable, min_count: int = 1,
-             max_count: int | None = None, count_clamp: int | None = None):
-    """Aggregate + compact + filter on device, then ONE host transfer.
+def _q64k(n: int, cap: int) -> int:
+    """Quantize a transfer slice length up to the next 64k multiple (capped
+    at the array length) so the device slice programs recur across record
+    counts instead of compiling per distinct n."""
+    return min(cap, -(-max(n, 1) // 65536) * 65536)
 
-    Returns numpy (keys u32/u64 UNBIASED, counts, read_nums u32,
-    positions u32) ascending by key (read_nums/positions all-zero when the
-    table tracks no coordinates).  ``count_clamp`` saturates counts on
-    DEVICE to 0xFF/0xFFFF and transfers them at 1/2 bytes each — the dump
-    formats saturate anyway (kmercount.rs counter_size), and the
-    device->host link is the finalize bottleneck.
 
-    Keys ride the link DELTA-ENCODED when the encoding pays: they are
-    ascending and unique, so at multi-M density almost every gap is tiny
-    (mean 84 at 51M records over u32) — BUT the canonical key space has
-    structural holes (measured gaps up to ~343k even at 51M records), so
-    a global "fits u16" test never fires.  Instead the device ships
-    mod-2^16 gaps plus exact RAW ANCHORS every ``_DELTA_B`` keys; the
-    host reconstructs each block with one wrapping cumsum rebased on its
-    anchor, and any block containing an oversized gap is SELF-DETECTED
-    (its reconstructed end cannot match the next anchor: the lost amount
-    is a nonzero multiple of 2^16 below the dtype modulus) and patched
-    with one device gather.  Sparse results (many oversized gaps) fall
-    back to raw keys; the decision count rides the same small fetch as
-    ``n``.
-    """
-    kw = 2 if table.wide else 1
+@functools.lru_cache(maxsize=None)
+def _finalize_prog(kw: int):
+    """finalize's device program, cached at MODULE level: a per-call
+    `jax.jit` wrapper retraces the aggregate graph on every finalize
+    (measured 1.3 s host trace per call); one persistent wrapper per key
+    width traces once per (table config, filter statics) and then
+    dispatches in ~0 (pytree statics — coords/cap/window — key jit's own
+    trace cache)."""
     B = _DELTA_B
 
     @functools.partial(jax.jit, static_argnames=("lo", "hi", "clamp"))
@@ -528,27 +517,65 @@ def finalize(table: StreamCountTable, min_count: int = 1,
                           last_key.astype(jnp.uint64)])
         return (key_out, d16, anchors) + outs[kw:], info
 
+    return run
+
+
+def finalize(table: StreamCountTable, min_count: int = 1,
+             max_count: int | None = None, count_clamp: int | None = None):
+    """Aggregate + compact + filter on device, then ONE host transfer.
+
+    Returns numpy (keys u32/u64 UNBIASED, counts, read_nums u32,
+    positions u32) ascending by key (read_nums/positions all-zero when the
+    table tracks no coordinates).  ``count_clamp`` saturates counts on
+    DEVICE to 0xFF/0xFFFF and transfers them at 1/2 bytes each — the dump
+    formats saturate anyway (kmercount.rs counter_size), and the
+    device->host link is the finalize bottleneck.
+
+    Keys ride the link DELTA-ENCODED when the encoding pays: they are
+    ascending and unique, so at multi-M density almost every gap is tiny
+    (mean 84 at 51M records over u32) — BUT the canonical key space has
+    structural holes (measured gaps up to ~343k even at 51M records), so
+    a global "fits u16" test never fires.  Instead the device ships
+    mod-2^16 gaps plus exact RAW ANCHORS every ``_DELTA_B`` keys; the
+    host reconstructs each block with one wrapping cumsum rebased on its
+    anchor, and any block containing an oversized gap is SELF-DETECTED
+    (its reconstructed end cannot match the next anchor: the lost amount
+    is a nonzero multiple of 2^16 below the dtype modulus) and patched
+    with one device gather.  Sparse results (many oversized gaps) fall
+    back to raw keys; the decision count rides the same small fetch as
+    ``n``.
+    """
+    kw = 2 if table.wide else 1
+    B = _DELTA_B
+    run = _finalize_prog(kw)
     outs, info_dev = run(table, min_count, max_count, count_clamp)
     info = np.asarray(info_dev)
     n, n_big, dropped = int(info[0]), int(info[1]), int(info[2])
     # delta mode pays when patch traffic (n_big bad blocks x B raw keys)
     # stays well under the raw-key savings
     delta_mode = n > 0 and n_big * B * 8 < n
-    key_slices = ([outs[1][:n], outs[2][: -(-n // B)]] if delta_mode
-                  else [outs[0][:n]])
-    rest = [o[:n] for o in outs[3:]]
+    # slice lengths QUANTIZED up to 64k multiples: `o[:n]` with a raw n
+    # compiles one slice program per distinct record count (measured ~1 s
+    # of compile on a fresh n); rung-quantized lengths recur across files
+    # at <= 64k extra rows (~0.3 MB) of link traffic.  Hosts trim to n.
+    n_blocks = -(-n // B)
+    nq = _q64k(n, outs[0].shape[0])
+    naq = _q64k(n_blocks, outs[2].shape[0])
+    key_slices = ([outs[1][:nq], outs[2][:naq]] if delta_mode
+                  else [outs[0][:nq]])
+    rest = [o[:nq] for o in outs[3:]]
     for s in key_slices + rest:
         # queue EVERY transfer up front: the link is the bottleneck, and
         # the host-side key decode below rides under the counts/coords
         # transfers instead of serializing after them
         s.copy_to_host_async()
     if delta_mode:
-        keys = _decode_delta_keys(outs[0], np.asarray(key_slices[0]),
-                                  np.asarray(key_slices[1]), info,
-                                  table.wide, n)
+        keys = _decode_delta_keys(outs[0], np.asarray(key_slices[0])[:n],
+                                  np.asarray(key_slices[1])[:n_blocks],
+                                  info, table.wide, n)
     else:
-        keys = np.asarray(key_slices[0])
-    host = [np.asarray(o) for o in rest]
+        keys = np.asarray(key_slices[0])[:n]
+    host = [np.asarray(o)[:n] for o in rest]
     host.insert(0, keys)  # keep positional layout below
     counts = host[1] if count_clamp is not None else host[1].view(np.uint32)
     if table.coords:
