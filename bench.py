@@ -334,6 +334,7 @@ def e2e_sketch(path, bucket):
               "total_s": round(dt, 3),
               "up_mb": round(up_bytes / 1e6, 1),
               "n_shapes": len(shapes)}
+    _add_floor(phases)
     return st.n_bases / dt / 1e6, phases
 
 
@@ -396,26 +397,37 @@ def e2e_count(path, bucket, cap=1 << 26):
                 t_sync += s0
         t = time.perf_counter(); t_disp += t - t2 - s0
     t5 = time.perf_counter()
+    # split the tail (VERDICT r4): drain = queued folds completing on
+    # device (forced by one scalar fetch), then finalize's own aggregate
+    # and record transfer are timed inside stream.finalize via `phases`
+    tbl = folder.flush()
+    _ = int(np.asarray(tbl.used))
+    t_drain = time.perf_counter() - t5
+    fin_ph: dict = {}
     # count_clamp=255 matches the CLI's default counter_size=8 dump
     # (saturating u8 counts, kmercount.rs counter_size) and ships counts
     # at 1 byte/record — the record transfer is finalize's main cost
-    keys, counts, _, _, dropped = stream.finalize(folder.flush(),
-                                                  min_count=2,
-                                                  count_clamp=255)
+    keys, counts, _, _, dropped = stream.finalize(tbl, min_count=2,
+                                                  count_clamp=255,
+                                                  phases=fin_ph)
     t_final = time.perf_counter() - t5
     dt = time.perf_counter() - t0
     assert len(keys) > 0
-    down_mb = (len(keys) * 3 + len(keys) // 1024 * 8) / 1e6  # d16+cnt+anchor
+    down_mb = (len(keys) * 3 + 16384 * 8) / 1e6  # d16+cnt+exception list
     phases = {"ingest_wait_s": round(t_wait, 3),
               "dispatch_s": round(t_disp, 3),
               "sync_s": round(t_sync, 3),
               "finalize_s": round(t_final, 3),
+              "drain_s": round(t_drain, 3),
+              "agg_s": round(fin_ph.get("agg_s", 0.0), 3),
+              "xfer_s": round(fin_ph.get("xfer_s", 0.0), 3),
               "total_s": round(dt, 3),
               "up_mb": round(up_bytes / 1e6, 1),
               "down_mb": round(down_mb, 1),
               "records": len(keys),
               "dropped": int(dropped),
               "n_shapes": len(shapes)}
+    _add_floor(phases)
     return st.n_bases / dt / 1e6, phases
 
 
@@ -474,11 +486,17 @@ def bench_hll_collection(rng):
 
 
 def bench_link_bandwidth():
-    """Host<->device link bandwidth probe (MB/s up, down).  The e2e file
-    metrics are bound by this link, which on the tunneled axon backend
-    drifts 5-10x between sessions (measured 7-80 MB/s); reporting it lets
-    a reader normalize the e2e numbers against infra drift.  Device-side
-    rates (sketch/stream_count) are unaffected."""
+    """Host<->device link bandwidth probe (MB/s up one-shot, down,
+    up sustained).  The e2e file metrics are bound by this link, which on
+    the tunneled axon backend drifts 5-10x between sessions (measured
+    7-80 MB/s); reporting it lets a reader normalize the e2e numbers
+    against infra drift.  Device-side rates (sketch/stream_count) are
+    unaffected.
+
+    The SUSTAINED number is the honest e2e floor: it streams 48 MB as
+    grouped 2 MB buffers exactly like io/fastx.read_batches_overlapped's
+    upload stage (one-shot bursts measured up to 1.7x the sustained wire
+    rate on the same session — buffering, not bandwidth)."""
     mb = 16
     a = np.zeros((mb << 20) // 4, np.int32)
     d = jax.device_put(a)          # warm the path
@@ -490,7 +508,21 @@ def bench_link_bandwidth():
     t0 = time.perf_counter()
     _ = np.asarray(d)
     down = mb / (time.perf_counter() - t0)
-    return up, down
+    bufs = [np.zeros((2 << 20) // 4, np.int32) for _ in range(8)]
+    t0 = time.perf_counter()
+    outs = [jax.device_put(bufs) for _ in range(3)]
+    _ = int(np.asarray(outs[-1][-1][0]))
+    up_sust = 48 / (time.perf_counter() - t0)
+    return up, down, up_sust
+
+
+def _add_floor(phases):
+    """Annotate e2e phases with the ingest floor implied by the measured
+    sustained link rate, so 'link-bound, not producer-bound' is checkable
+    from the driver record alone."""
+    sust = OUT["extra"].get("link_up_sustained_mb_s")
+    if sust:
+        phases["ingest_floor_s"] = round(phases["up_mb"] / sust, 3)
 
 
 # ---------------------------------------------------------------------------
@@ -508,9 +540,10 @@ def main():
     _emit()
 
     def sec_link():
-        up, down = bench_link_bandwidth()
+        up, down, up_sust = bench_link_bandwidth()
         ex["link_up_mb_s"] = round(up, 1)
         ex["link_down_mb_s"] = round(down, 1)
+        ex["link_up_sustained_mb_s"] = round(up_sust, 1)
 
     def sec_sketch():
         mb = bench_sketch(rng)

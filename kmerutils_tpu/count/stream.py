@@ -421,49 +421,21 @@ def grow(table: StreamCountTable, new_capacity: int) -> StreamCountTable:
         grow_hint=jnp.zeros((), jnp.int32))
 
 
-_DELTA_B = 1024   # anchor spacing for finalize's delta-encoded key transfer
+_EXC_CAP = 16384  # fixed exception-list capacity for finalize's delta keys
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
-def _gather_blocks(key_out, ids, B):
-    idx = (ids[:, None].astype(jnp.int64) * B
-           + jnp.arange(B, dtype=jnp.int64)[None, :])
-    return jnp.take(key_out, idx, mode="clip")
-
-
-def _decode_delta_keys(key_dev, d16, anchors, info, wide: bool, n: int):
-    """Reconstruct keys from (u16 gaps, raw block anchors); see finalize.
-    All arithmetic wraps in the key dtype — exactly the mod arithmetic the
-    mod-2^16 gap truncation requires."""
-    B = _DELTA_B
+def _decode_delta_keys(d16, exc_idx, exc_hi, wide: bool, n: int,
+                       n_big: int):
+    """Reconstruct keys from (u16 gaps, explicit oversized-gap exceptions);
+    see finalize.  Exact by construction: every gap >= 2^16 arrives as an
+    (index, gap >> 16) pair, so ONE cumsum in the key dtype rebuilds the
+    ascending key sequence with no anchors and no patch round trips."""
     W = np.uint64 if wide else np.uint32
-    n_blocks = -(-n // B)
-    g = np.cumsum(d16, dtype=W)
-    last_key = W(info[3])
-    anchors = anchors.astype(W, copy=False)
-    if n_blocks * B > n:        # tail block is partial: its anchor slot
-        anchors = anchors.copy()     # holds garbage — the true last key
-        anchors[-1] = last_key       # rides in `info`
-    ge = g[B - 1::B]            # reconstructed full-block ends
-    corr = np.zeros(n_blocks, W)
-    corr[1:] = anchors[:n_blocks - 1] - ge[:n_blocks - 1]
-    keys = g + np.repeat(corr, B)[:n]
-    # self-detection: a block containing an oversized gap lost a positive
-    # multiple of 2^16 (< key modulus), so its end CANNOT match the anchor
-    full = ge.shape[0]
-    bad = np.flatnonzero(keys[B - 1::B] != anchors[:full])
-    if n_blocks > full and keys[n - 1] != last_key:
-        bad = np.append(bad, n_blocks - 1)
-    if bad.size:
-        K = 1 << max(4, int(bad.size - 1).bit_length())  # few program shapes
-        ids = np.zeros(K, np.int32)
-        ids[: bad.size] = bad
-        patch = np.asarray(_gather_blocks(key_dev, jnp.asarray(ids), B))
-        for r in range(bad.size):
-            lo = int(bad[r]) * B
-            hi = min(lo + B, n)
-            keys[lo:hi] = patch[r, : hi - lo]
-    return keys
+    arr = d16.astype(W)
+    if n_big:
+        idx = exc_idx[:n_big]
+        arr[idx] += exc_hi[:n_big].astype(W) << W(16)
+    return np.cumsum(arr, dtype=W)
 
 
 def _q64k(n: int, cap: int) -> int:
@@ -481,7 +453,6 @@ def _finalize_prog(kw: int):
     width traces once per (table config, filter statics) and then
     dispatches in ~0 (pytree statics — coords/cap/window — key jit's own
     trace cache)."""
-    B = _DELTA_B
 
     @functools.partial(jax.jit, static_argnames=("lo", "hi", "clamp"))
     def run(t, lo, hi, clamp):
@@ -504,24 +475,37 @@ def _finalize_prog(kw: int):
                        | unflip[1]) - jnp.uint64(1)
         else:
             key_out = unflip[0] - U32(1)
-        # gaps between consecutive live keys (delta[0] = keys[0])
+        # gaps between consecutive live keys (delta[0] = keys[0]); gaps
+        # >= 2^16 are rare even at multi-M density (structural holes in
+        # the canonical key space: measured 1016 of 2.1M at 190x coverage)
+        # but large enough that block-anchor patching shipped whole raw
+        # blocks — instead every oversized gap is located ON DEVICE
+        # (cumsum of the bad-gap mask + one binary-search per exception
+        # slot) and ships as an exact (entry index, gap >> 16) pair in a
+        # FIXED-length list, so the host rebuild is one cumsum
         delta = jnp.concatenate([key_out[:1], key_out[1:] - key_out[:-1]])
         live = jnp.arange(delta.shape[0], dtype=jnp.int64) < n
-        n_big = jnp.sum((live & (delta >= delta.dtype.type(1 << 16)))
-                        .astype(jnp.int64))
+        bad = live & (delta >= delta.dtype.type(1 << 16))
+        n_big = jnp.sum(bad.astype(jnp.int64))
         d16 = delta.astype(jnp.uint16)
-        anchors = key_out[B - 1::B]
-        last_key = jnp.take(key_out, jnp.maximum(n - 1, 0), mode="clip")
+        bc = jnp.cumsum(bad.astype(jnp.int32))
+        r = jnp.arange(1, _EXC_CAP + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(bc, r, side="left").astype(jnp.int64)
+        ok = (r - 1) < n_big
+        exc_idx = jnp.where(ok, pos, 0).astype(jnp.int32)
+        exc_hi = jnp.where(
+            ok, jnp.take(delta, pos, mode="clip") >> delta.dtype.type(16),
+            delta.dtype.type(0))
         info = jnp.stack([n.astype(jnp.uint64), n_big.astype(jnp.uint64),
-                          t.n_dropped.astype(jnp.uint64),
-                          last_key.astype(jnp.uint64)])
-        return (key_out, d16, anchors) + outs[kw:], info
+                          t.n_dropped.astype(jnp.uint64)])
+        return (key_out, d16, exc_idx, exc_hi) + outs[kw:], info
 
     return run
 
 
 def finalize(table: StreamCountTable, min_count: int = 1,
-             max_count: int | None = None, count_clamp: int | None = None):
+             max_count: int | None = None, count_clamp: int | None = None,
+             phases: dict | None = None):
     """Aggregate + compact + filter on device, then ONE host transfer.
 
     Returns numpy (keys u32/u64 UNBIASED, counts, read_nums u32,
@@ -534,48 +518,66 @@ def finalize(table: StreamCountTable, min_count: int = 1,
     Keys ride the link DELTA-ENCODED when the encoding pays: they are
     ascending and unique, so at multi-M density almost every gap is tiny
     (mean 84 at 51M records over u32) — BUT the canonical key space has
-    structural holes (measured gaps up to ~343k even at 51M records), so
-    a global "fits u16" test never fires.  Instead the device ships
-    mod-2^16 gaps plus exact RAW ANCHORS every ``_DELTA_B`` keys; the
-    host reconstructs each block with one wrapping cumsum rebased on its
-    anchor, and any block containing an oversized gap is SELF-DETECTED
-    (its reconstructed end cannot match the next anchor: the lost amount
-    is a nonzero multiple of 2^16 below the dtype modulus) and patched
-    with one device gather.  Sparse results (many oversized gaps) fall
-    back to raw keys; the decision count rides the same small fetch as
-    ``n``.
+    structural holes (measured gaps up to ~343k even at 51M records, and
+    1016 gaps >= 2^16 at 2.1M records), so a global "fits u16" test never
+    fires and block-anchor patching shipped whole raw blocks (round 4:
+    ~half the blocks bad on dense coverage tables, disabling the
+    encoding).  Instead the device ships mod-2^16 gaps plus an EXACT,
+    fixed-length exception list — (entry index, gap >> 16) for every
+    oversized gap, located on device — and the host rebuild is one
+    cumsum.  Tables with more than ``_EXC_CAP`` oversized gaps (very
+    sparse key sets, where gaps are mostly large anyway) fall back to raw
+    keys; the decision count rides the same small fetch as ``n``.
     """
+    import time as _time
     kw = 2 if table.wide else 1
-    B = _DELTA_B
     run = _finalize_prog(kw)
+    t0 = _time.perf_counter()
     outs, info_dev = run(table, min_count, max_count, count_clamp)
-    info = np.asarray(info_dev)
+    info = np.asarray(info_dev)     # device aggregate + one tiny fetch
+    t1 = _time.perf_counter()
     n, n_big, dropped = int(info[0]), int(info[1]), int(info[2])
-    # delta mode pays when patch traffic (n_big bad blocks x B raw keys)
-    # stays well under the raw-key savings
-    delta_mode = n > 0 and n_big * B * 8 < n
+    if phases is not None:
+        phases["agg_s"] = phases.get("agg_s", 0.0) + (t1 - t0)
+        phases["records"] = phases.get("records", 0) + n
+    if n == 0:
+        # empty/fully-filtered table: skip the device slices entirely —
+        # _q64k's max(n, 1) would otherwise queue a full 64k-row transfer
+        # of garbage per array (ADVICE r4)
+        z = np.zeros(0, np.uint32)
+        keys = z.astype(np.uint64) if table.wide else z
+        cdt = (np.uint32 if count_clamp is None
+               else np.uint8 if count_clamp <= 0xFF else np.uint16)
+        return keys, np.zeros(0, cdt), z, z, int(dropped)
+    # delta pays its fixed exception-list cost whenever the u16 gaps are
+    # representable; past _EXC_CAP oversized gaps the key set is sparse
+    # enough that raw keys are the honest encoding
+    delta_mode = n_big <= _EXC_CAP and n >= (1 << 16)
     # slice lengths QUANTIZED up to 64k multiples: `o[:n]` with a raw n
     # compiles one slice program per distinct record count (measured ~1 s
     # of compile on a fresh n); rung-quantized lengths recur across files
     # at <= 64k extra rows (~0.3 MB) of link traffic.  Hosts trim to n.
-    n_blocks = -(-n // B)
+    # The exception arrays are fixed-length (_EXC_CAP) — no rungs at all.
     nq = _q64k(n, outs[0].shape[0])
-    naq = _q64k(n_blocks, outs[2].shape[0])
-    key_slices = ([outs[1][:nq], outs[2][:naq]] if delta_mode
+    key_slices = ([outs[1][:nq], outs[2], outs[3]] if delta_mode
                   else [outs[0][:nq]])
-    rest = [o[:nq] for o in outs[3:]]
+    rest = [o[:nq] for o in outs[4:]]
     for s in key_slices + rest:
         # queue EVERY transfer up front: the link is the bottleneck, and
         # the host-side key decode below rides under the counts/coords
         # transfers instead of serializing after them
         s.copy_to_host_async()
     if delta_mode:
-        keys = _decode_delta_keys(outs[0], np.asarray(key_slices[0])[:n],
-                                  np.asarray(key_slices[1])[:n_blocks],
-                                  info, table.wide, n)
+        keys = _decode_delta_keys(np.asarray(key_slices[0])[:n],
+                                  np.asarray(key_slices[1]),
+                                  np.asarray(key_slices[2]),
+                                  table.wide, n, n_big)
     else:
         keys = np.asarray(key_slices[0])[:n]
     host = [np.asarray(o)[:n] for o in rest]
+    if phases is not None:
+        phases["xfer_s"] = phases.get("xfer_s", 0.0) \
+            + (_time.perf_counter() - t1)
     host.insert(0, keys)  # keep positional layout below
     counts = host[1] if count_clamp is not None else host[1].view(np.uint32)
     if table.coords:

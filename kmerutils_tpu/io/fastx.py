@@ -175,6 +175,18 @@ def read_batches(path: str, batch_reads: int = 10000,
     read_batches_overlapped's upload stage wants (the transfer then lives
     ONLY in its dedicated device_put thread, truly overlapping parse with
     upload) and what shape-discovery passes want (free).
+
+    Flushing is BASE-budgeted with partial-group carry-over (round 5): the
+    parse window flushes every ~4 batches of accumulated bases, emitting
+    only FULL batches (row quota reached, or capacity/row-cap stopped) and
+    carrying sub-quota remainders into the next window.  The old 40k-read
+    window made the first batch wait for ~240 Mbases of parsing (measured
+    0.92 s of pipeline-fill bubble in front of read_batches_overlapped's
+    upload stage on the 384-Mbase uniform fixture) while carrying no
+    benefit beyond bucketing granularity; the carry-over keeps batch
+    SHAPES and row padding identical to the large-window behavior (a
+    partial group is only padded to its row quota once, at end of
+    stream).
     """
     import jax.numpy as jnp
 
@@ -200,13 +212,15 @@ def read_batches(path: str, batch_reads: int = 10000,
     use_packed = bool(packed) and native.available() and \
         hasattr(native._load(), "ktp_next_block_packed")
 
-    def flush():
-        nonlocal window, indices
+    def flush(final: bool):
+        nonlocal window, indices, window_bases
         if not window:
             return
         lens = np.array([ln for _, ln in window], dtype=np.int64)
         order = np.argsort(lens, kind="stable") if bucket \
             else np.arange(len(window))
+        keep: list = []
+        keep_idx: list[int] = []
         start = 0
         while start < len(window):
             # rows allowed at this group's width (bucketed: widths ascend)
@@ -219,7 +233,21 @@ def read_batches(path: str, batch_reads: int = 10000,
                     break
                 take += 1
                 L0 = Lc
+            # a group is FULL when the take loop stopped on capacity or
+            # the row cap — i.e. no further read of this width could join.
+            # A window-exhausted sub-quota group is carried into the next
+            # window instead of shipping a mostly-padding batch.
+            Lq0 = qwidth(L0) if quantize else L0
+            full = (take >= batch_reads
+                    or (take + 1) * Lq0 > max_batch_bases
+                    or start + take < len(window))
             sel = order[start : start + take]
+            if not final and not full:
+                for i in sel:
+                    keep.append(window[i])
+                    keep_idx.append(indices[i])
+                start += take
+                continue
             group = [window[i] for i in sel]
             L = max(ln for _, ln in group)
             n = len(group)
@@ -249,20 +277,27 @@ def read_batches(path: str, batch_reads: int = 10000,
                 batch = pack_codes(codes, lengths, as_numpy=to_host)
             yield batch, np.array([indices[i] for i in sel])
             start += take
-        window, indices = [], []
+        window, indices = keep, keep_idx
+        window_bases = sum(ln for _, ln in window)
 
+    # flush every ~4 batches of bases (carry-over keeps sub-quota groups
+    # out of the emitted stream, so smaller windows cost no extra padding);
+    # the read-count cap bounds the per-flush argsort for tiny-read files
+    window_budget = 4 * max_batch_bases
+    window_bases = 0
     window_cap = batch_reads * 4
     if use_packed:
         reader = native.NativeFastxReader(path)
         for words, woff, lens_blk in reader.packed_blocks():
             for i in range(lens_blk.size):
-                window.append((words[woff[i] : woff[i + 1]],
-                               int(lens_blk[i])))
+                ln = int(lens_blk[i])
+                window.append((words[woff[i] : woff[i + 1]], ln))
                 indices.append(next_index)
                 next_index += 1
-                if len(window) >= window_cap:
-                    yield from flush()
-        yield from flush()
+                window_bases += ln
+                if window_bases >= window_budget or len(window) >= window_cap:
+                    yield from flush(final=False)
+        yield from flush(final=True)
         if stats is not None:
             stats.n_bases += int(reader.stats[0])
             stats.nb_bad_bases += int(reader.stats[1])
@@ -274,13 +309,15 @@ def read_batches(path: str, batch_reads: int = 10000,
         window.append((codes, codes.size))
         indices.append(next_index)
         next_index += 1
-        if len(window) >= window_cap:
-            yield from flush()
-    yield from flush()
+        window_bases += codes.size
+        if window_bases >= window_budget or len(window) >= window_cap:
+            yield from flush(final=False)
+    yield from flush(final=True)
 
 
 def read_batches_overlapped(path: str, queue_depth: int = 3,
-                            to_device: bool = False, **kw):
+                            to_device: bool = False,
+                            upload_group: int = 8, **kw):
     """read_batches through a bounded producer thread, so host parsing and
     batch assembly overlap with device compute (the role of the reference's
     producer->consumer channel pipeline, kmercount.rs:881-974: one
@@ -304,11 +341,20 @@ def read_batches_overlapped(path: str, queue_depth: int = 3,
     stage runs read_batches(to_host=True): it assembles pure-numpy batches
     and the device transfer happens ONLY in the upload thread.  queue_depth
     bounds each stage's queue (and so in-flight device batch buffers).
+
+    The upload stage COALESCES up to ``upload_group`` queued batches into
+    ONE `jax.device_put` pytree call (never waiting for a group to fill —
+    it drains whatever the parse stage has ready).  Per-buffer puts
+    through the tunnel are RTT-dominated (measured 2 MB batches: 98 ms
+    each = 21 MB/s serial, vs 40-46 MB/s for 8-16 buffers pipelined in one
+    call on the same session's link); grouping roughly doubles effective
+    upload bandwidth, which bounds the e2e on-disk pipelines.
     """
     import queue as _queue
     import threading
 
-    q: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+    depth = max(queue_depth, upload_group if to_device else 0)
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
     _END = object()
 
     def parse_worker(out_q):
@@ -322,16 +368,29 @@ def read_batches_overlapped(path: str, queue_depth: int = 3,
     if to_device:
         import jax
         kw.setdefault("to_host", True)  # parse stage stays device-free
-        q0: _queue.Queue = _queue.Queue(maxsize=queue_depth)
+        q0: _queue.Queue = _queue.Queue(maxsize=depth)
 
         def upload_worker():
             try:
-                while True:
-                    item = q0.get()
-                    if item is _END or isinstance(item, BaseException):
-                        q.put(item)
-                        return
-                    q.put((jax.device_put(item[0]),) + tuple(item[1:]))
+                done = None
+                while done is None:
+                    buf = [q0.get()]
+                    # opportunistic drain: group whatever parse has ready
+                    while (len(buf) < upload_group
+                           and not isinstance(buf[-1], BaseException)
+                           and buf[-1] is not _END):
+                        try:
+                            buf.append(q0.get_nowait())
+                        except _queue.Empty:
+                            break
+                    if buf[-1] is _END or isinstance(buf[-1], BaseException):
+                        done = buf.pop()
+                    if buf:
+                        put = jax.device_put([it[0] for it in buf])
+                        for d, it in zip(put, buf):
+                            q.put((d,) + tuple(it[1:]))
+                if done is not None:
+                    q.put(done)
             except BaseException as e:
                 q.put(e)
 

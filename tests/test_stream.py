@@ -483,31 +483,29 @@ def test_finalize_delta_and_raw_paths(k, n_reads, rl):
 
 
 @pytest.mark.parametrize("wide,n,holes", [
-    (False, 10_000, [3_000, 3_001, 9_999]),  # adjacent bad blocks + bad tail
-    (False, 5 * 1024, []),                   # exact block multiple, clean
-    (True, 7_777, [0, 5_000]),               # u64 keys, bad first block
-    (False, 100, [50]),                      # single partial block
+    (False, 10_000, [0, 3_000, 3_001, 9_999]),  # adjacent + first + last
+    (False, 5 * 1024, []),                      # clean, no exceptions
+    (True, 7_777, [0, 5_000]),                  # u64 keys, huge gaps
+    (False, 100, [50]),                         # tiny set
 ])
-def test_decode_delta_keys_patches_holes(wide, n, holes):
+def test_decode_delta_keys_exceptions(wide, n, holes):
     """_decode_delta_keys against crafted key sets with oversized gaps
-    (the canonical key space's structural holes): every bad block must
-    self-detect via its anchor and patch from the raw device keys."""
-    B = stream._DELTA_B
+    (the canonical key space's structural holes): the (index, gap >> 16)
+    exception list must rebuild the exact key sequence via one cumsum."""
     W = np.uint64 if wide else np.uint32
     gaps = RNG.integers(1, 200, n).astype(np.uint64)
     for h in holes:
-        gaps[h] = RNG.integers(1 << 16, 1 << 20)
+        hi = 40 if wide else 20      # u64 exercises >32-bit gap highs
+        gaps[h] = RNG.integers(1 << 16, 1 << hi)
     keys = np.cumsum(gaps).astype(W)
     delta = np.diff(keys, prepend=keys.dtype.type(0))
     d16 = delta.astype(np.uint16)
-    # physical padding past n, as aggregate outputs have
-    pad = 3 * B // 2
-    key_phys = np.concatenate([keys, np.zeros(pad, W)])
-    anchors = key_phys[B - 1::B]
-    info = np.array([n, sum(1 for h in holes if True), 0,
-                     keys[-1]], dtype=np.uint64)
-    n_blocks = -(-n // B)
-    got = stream._decode_delta_keys(jnp.asarray(key_phys), d16,
-                                    anchors[:n_blocks], info, wide, n)
+    exc_pos = np.flatnonzero(delta >= (1 << 16))
+    exc_idx = np.zeros(stream._EXC_CAP, np.int32)
+    exc_hi = np.zeros(stream._EXC_CAP, W)
+    exc_idx[: exc_pos.size] = exc_pos
+    exc_hi[: exc_pos.size] = delta[exc_pos] >> W(16)
+    got = stream._decode_delta_keys(d16, exc_idx, exc_hi, wide, n,
+                                    int(exc_pos.size))
     np.testing.assert_array_equal(got, keys)
     assert got.dtype == W
