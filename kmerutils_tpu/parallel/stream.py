@@ -230,6 +230,23 @@ def make_fold(mesh: Mesh, table_like: stream.StreamCountTable):
     return prog
 
 
+def make_drop_reduce(mesh: Mesh):
+    """Replicated psum of the per-device in-transit drop accumulators
+    (all_to_all bucket overflow is counted on the SENDER side, so the
+    global number needs one reduction).  A collective: in multi-process
+    use every process must launch it at the same point."""
+    ckey = ("drop_reduce", _mesh_key(mesh))
+    if ckey in _PROG_CACHE:
+        return _PROG_CACHE[ckey]
+
+    def step(d):
+        return jax.lax.psum(d[0], READS_AXIS)
+
+    fn = _shard_map(step, mesh, in_specs=(P(READS_AXIS),), out_specs=P())
+    prog = _PROG_CACHE[ckey] = jax.jit(fn)
+    return prog
+
+
 def make_hint_reduce(mesh: Mesh):
     """Tiny replicated pmax of the per-shard grow hints — the ONLY
     cross-process agreement in the growth ladder, launched at the host's
@@ -527,14 +544,34 @@ class ShardedStreamCounter:
         return self.table
 
     # -- collection -------------------------------------------------------
+    def reduce_in_transit_drops(self) -> int:
+        """Reduce the per-device in-transit drop accumulators (all_to_all
+        bucket overflow, sender-side) to ONE global count, cached as an int
+        in ``dropped_in_transit``.  Works single- and multi-process (psum
+        over the mesh, replicated result — every process reads the same
+        total).  A collective in multi-process use: all processes must
+        call it at the same point; finalize_local does."""
+        if not isinstance(self.dropped_in_transit, int):
+            prog = make_drop_reduce(self.mesh)
+            self.dropped_in_transit = int(
+                np.asarray(prog(self.dropped_in_transit)))
+        return self.dropped_in_transit
+
     def finalize_local(self, min_count: int = 1,
                        max_count: int | None = None,
                        count_clamp: int | None = None):
         """Per-process shard results after flush(): {shard row: (keys,
         counts, read_nums, positions, dropped)}.  When spill epochs
         happened, each shard's segments (+ its final table) are k-way
-        merged with the count-range filter applied post-merge."""
+        merged with the count-range filter applied post-merge.
+
+        Also reduces the in-transit drop accumulator into
+        ``dropped_in_transit`` (a global int, identical on every process)
+        — a mis-sized ``shard_cap_factor`` run surfaces its exchange
+        overflow here instead of silently under-reporting (the per-shard
+        ``dropped`` in the result tuples counts TABLE drops only)."""
         self.flush()
+        self.reduce_in_transit_drops()
         if self.spill_stores:
             self.spill_shards()          # final tables join their segments
             out = {}
@@ -568,9 +605,6 @@ class ShardedStreamCounter:
             # work and side effects on the error path otherwise
             raise RuntimeError("finalize needs all shards addressable; "
                                "use finalize_local per process")
-        if not isinstance(self.dropped_in_transit, int):
-            self.dropped_in_transit = int(
-                np.asarray(self.dropped_in_transit).sum())
         parts = list(self.finalize_local(min_count, max_count,
                                          count_clamp).values())
         keys = np.concatenate([p[0] for p in parts])

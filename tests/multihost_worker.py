@@ -200,6 +200,30 @@ def main():
     check_owned_shards(local, all_reads, 13)
     ctr.close()
 
+    # 5. exchange-overflow accounting across the process boundary: a
+    # deliberately tiny shard_cap_factor makes the all_to_all buckets
+    # overflow; the reported global in-transit drop count (psum-reduced in
+    # finalize_local) must equal generated - received exactly.
+    rng4 = np.random.default_rng(31)        # same stream in every process
+    ctr = pstream.ShardedStreamCounter(mesh, 1 << 12, wide=False,
+                                       coords=False, depth=0,
+                                       shard_cap_factor=0.1)
+    kk_ = 13
+    rr = ["".join(rng4.choice(list("ACGT"), size=4096))
+          for _ in range(n_dev)]
+    ctr.update(make_gbatch(rr), kk_)
+    local = ctr.finalize_local()
+    assert isinstance(ctr.dropped_in_transit, int)
+    assert ctr.dropped_in_transit > 0, \
+        "tiny shard_cap_factor produced no exchange overflow"
+    generated = sum(len(s) - kk_ + 1 for s in rr)
+    received_local = sum(int(v[1].sum()) for v in local.values())
+    received = int(np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([received_local]), tiled=True)).sum())
+    assert ctr.dropped_in_transit == generated - received, \
+        (ctr.dropped_in_transit, generated, received)
+    ctr.close()
+
     with open(os.path.join(out_dir, f"ok.{pid}"), "w") as f:
         f.write("ok")
     jax.distributed.shutdown()

@@ -192,6 +192,25 @@ class TestShardedStreamCounter:
         for v, r_, p_ in zip(keys.tolist(), rn.tolist(), ps.tolist()):
             assert first[v] == (r_, p_), v
 
+    def test_in_transit_drop_accounting(self, rng, mesh8):
+        # deliberately tiny shard_cap_factor: the all_to_all buckets
+        # overflow and the psum-reduced global drop count must equal
+        # generated - received exactly (kmercount.rs:382-420 overflow
+        # semantics made observable)
+        from kmerutils_tpu.parallel import stream as pstream
+        ctr = pstream.ShardedStreamCounter(mesh8, 1 << 12, coords=False,
+                                           depth=0, shard_cap_factor=0.1)
+        k = 13
+        reads = ["".join(rng.choice(list("ACGT"), size=2048))
+                 for _ in range(8)]
+        ctr.update(_sharded_batch(reads, mesh8), k)
+        local = ctr.finalize_local()
+        assert isinstance(ctr.dropped_in_transit, int)
+        assert ctr.dropped_in_transit > 0
+        generated = sum(len(s) - k + 1 for s in reads)
+        received = sum(int(v[1].sum()) for v in local.values())
+        assert ctr.dropped_in_transit == generated - received
+
     def test_hint_every_sparse_sampling(self, rng, mesh8):
         # pre-sized capacity + hint_every>1 (the scaling-tool configuration,
         # SCALING.md round 4): the hint reduce fires sparsely and counts
