@@ -147,27 +147,56 @@ class AnchorStore:
 
 
 class RedisAnchorStore(AnchorStore):
-    """AnchorStore backed by a live redis connection (the reference's
-    redis_dump target, anchor.rs:166-203 + redisbase.rs), used when the
-    ``redis`` package is importable and a server is reachable.  Also issues
-    BGREWRITEAOF after a bulk dump like anchor_computation (anchor.rs:460-467).
-    """
+    """AnchorStore backed by a live redis-protocol connection — the
+    reference's redis_dump target (anchor.rs:166-203 + redisbase.rs),
+    speaking RESP over TCP via the from-scratch client in ``kvstore.py``
+    (works against stock redis or :class:`kvstore.RespServer`).  Bulk
+    dumps pipeline every HSET in one round trip and issue BGREWRITEAOF
+    afterwards like anchor_computation (anchor.rs:460-467)."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 6379, db: int = 0):
-        import redis  # optional dependency; raises ImportError if absent
+    def __init__(self, host: str = "127.0.0.1", port: int = 6379,
+                 db: int = 0):
+        from .kvstore import RespClient
         super().__init__()
-        self._r = redis.Redis(host=host, port=port, db=db)
+        self._r = RespClient(host=host, port=port, db=db)
 
     def hset(self, key: str, field: str, value: str):
         super().hset(key, field, value)
         self._r.hset(key, field, value)
 
+    def load_anchor(self, params: AnchorsGeneratorParameters, readnum: int,
+                    slicepos: int, process: str = "anchor"
+                    ) -> SliceAnchor | None:
+        """Read back THROUGH the wire (not the local mirror) so reloads
+        see anchors persisted by other processes."""
+        key = SliceAnchor(readnum, slicepos, []).key_string(params, process)
+        v = self._r.hget(SLICE_ANCHOR_KEY, key)
+        if v is None:
+            return None
+        return SliceAnchor.from_value_string(readnum, slicepos, v)
+
     def dump_anchors(self, params, anchors, process: str = "anchor"):
-        super().dump_anchors(params, anchors, process)
+        # mirror locally (base-class hset, NOT the wire-writing override)
+        # and ship every write as ONE pipelined round trip
+        cmds = []
+        for a in anchors:
+            key, val = a.key_string(params, process), a.value_string()
+            AnchorStore.hset(self, SLICE_ANCHOR_KEY, key, val)
+            cmds.append(("HSET", SLICE_ANCHOR_KEY, key, val))
+            if a.minhash:
+                inv_f, inv_v = str(a.minhash[0][0]), \
+                    f"{a.readnum}:{a.slicepos}"
+                AnchorStore.hset(self, MINHASH_1, inv_f, inv_v)
+                cmds.append(("HSET", MINHASH_1, inv_f, inv_v))
+        if cmds:
+            self._r.pipeline(cmds)
         try:
             self._r.bgrewriteaof()
         except Exception:
             pass  # AOF disabled server-side is fine
+
+    def close(self):
+        self._r.close()
 
 
 def anchor_computation(fasta_path: str, params: AnchorsGeneratorParameters,

@@ -229,6 +229,59 @@ class TestAnchors:
         assert back is not None and back.minhash == anchors[0].minhash
         assert anchor.MINHASH_1 in store.hashes
 
+    def test_resp_client_server_roundtrip(self):
+        # the from-scratch RESP wire path alone (kvstore.py): framing,
+        # redis HSET new-field semantics, nil HGET, pipelining
+        from kmerutils_tpu import kvstore
+        srv = kvstore.RespServer()
+        try:
+            c = kvstore.RespClient(port=srv.port)
+            assert c.ping()
+            assert c.hset("h", "f1", "v1") == 1
+            assert c.hset("h", "f1", "v2") == 0    # overwrite: 0 new fields
+            assert c.hget("h", "f1") == "v2"
+            assert c.hget("h", "nope") is None
+            assert c.hgetall("h") == {"f1": "v2"}
+            assert c.pipeline([("HSET", "h", "a", "1"),
+                               ("HSET", "h", "b", "2"),
+                               ("HLEN", "h")]) == [1, 1, 3]
+            assert "rewriting" in c.bgrewriteaof()
+            c.close()
+        finally:
+            srv.close()
+
+    def test_redis_anchor_store_live(self, rng, tmp_path):
+        # FastaAnchors-equivalent drives a LIVE RESP client end to end
+        # (anchor.rs:398-467 + redisbase.rs semantics over real TCP):
+        # persisted hashes must match the in-memory store byte for byte,
+        # and load_anchor must read back THROUGH the wire
+        from kmerutils_tpu import kvstore
+        reads = ["".join(rng.choice(list("ACGT"), size=300))
+                 for _ in range(2)]
+        p = str(tmp_path / "t.fasta")
+        fastx.write_fasta(p, reads)
+        params = anchor.AnchorsGeneratorParameters(
+            fasta_name=p, window=100, nbkmer=4, kmer_size=11, overlap=10)
+        srv = kvstore.RespServer()
+        try:
+            store = anchor.RedisAnchorStore(port=srv.port)
+            anchors = anchor.anchor_computation(p, params, store)
+            assert len(anchors) == 2 * 4
+            # server-side state == the local mirror, for both hashes
+            for key in (anchor.SLICE_ANCHOR_KEY, anchor.MINHASH_1):
+                got = {f.decode(): v.decode()
+                       for f, v in srv.store[key.encode()].items()}
+                assert got == store.hashes[key]
+            # reload through the wire, not the mirror
+            store.hashes.clear()
+            back = store.load_anchor(params, 1, 90)
+            want = [a for a in anchors
+                    if a.readnum == 1 and a.slicepos == 90][0]
+            assert back is not None and back.minhash == want.minhash
+            store.close()
+        finally:
+            srv.close()
+
 
 class TestUtilsAnn:
     def test_make_equal_groups(self, rng):
