@@ -221,26 +221,44 @@ def read_batches(path: str, batch_reads: int = 10000,
             else np.arange(len(window))
         keep: list = []
         keep_idx: list[int] = []
+
+        def quota_rows(Lq):
+            """Pow2 row quota at width Lq — the take cap AND the emitted
+            row count, so every full batch at a rung has EXACTLY one
+            shape (data-dependent group sizes must not leak into shapes:
+            each distinct shape is a full XLA compile)."""
+            q = max(1, min(batch_reads, max_batch_bases // Lq))
+            n = 1 << (q - 1).bit_length()
+            return n if n <= q else n >> 1
+
         start = 0
         while start < len(window):
-            # rows allowed at this group's width (bucketed: widths ascend)
+            # rows allowed at this group's width (bucketed: widths ascend).
+            # A group is FULL only when it stopped on the row quota or the
+            # capacity cap; stopping on window exhaustion or on a rung
+            # boundary (bucketed: a longer read would widen every row's
+            # padding — the ascending order bounds boundary leftovers to
+            # at most one sub-quota group per rung per flush) leaves a
+            # sub-quota group that is carried into the next window
+            # instead of shipping a mostly-padding batch.
             L0 = int(lens[order[start]])
             take = 1
-            while take < batch_reads and start + take < len(window):
+            full = False
+            while start + take < len(window):
                 Lc = max(L0, int(lens[order[start + take]]))
+                if bucket and quantize and qwidth(Lc) != qwidth(L0):
+                    break                      # rung boundary: not full
                 Lq = qwidth(Lc) if quantize else Lc
-                if (take + 1) * Lq > max_batch_bases:
+                cap_rows = quota_rows(Lq) if quantize else batch_reads
+                if take + 1 > cap_rows or (take + 1) * Lq > max_batch_bases:
+                    full = True
                     break
                 take += 1
                 L0 = Lc
-            # a group is FULL when the take loop stopped on capacity or
-            # the row cap — i.e. no further read of this width could join.
-            # A window-exhausted sub-quota group is carried into the next
-            # window instead of shipping a mostly-padding batch.
             Lq0 = qwidth(L0) if quantize else L0
-            full = (take >= batch_reads
-                    or (take + 1) * Lq0 > max_batch_bases
-                    or start + take < len(window))
+            cap_rows0 = quota_rows(Lq0) if quantize else batch_reads
+            full = full or take >= cap_rows0 \
+                or (take + 1) * Lq0 > max_batch_bases
             sel = order[start : start + take]
             if not final and not full:
                 for i in sel:
