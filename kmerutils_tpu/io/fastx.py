@@ -213,7 +213,7 @@ def read_batches(path: str, batch_reads: int = 10000,
         hasattr(native._load(), "ktp_next_block_packed")
 
     def flush(final: bool):
-        nonlocal window, indices, window_bases
+        nonlocal window, indices, window_bases, window_new
         if not window:
             return
         lens = np.array([ln for _, ln in window], dtype=np.int64)
@@ -296,13 +296,21 @@ def read_batches(path: str, batch_reads: int = 10000,
             yield batch, np.array([indices[i] for i in sel])
             start += take
         window, indices = keep, keep_idx
-        window_bases = sum(ln for _, ln in window)
+        # reset the NEW-appends triggers: carried entries must not count
+        # toward the next flush or a window whose carry-over alone exceeds
+        # a budget would re-scan (argsort + group walk) on EVERY appended
+        # read — measured 214 s of quadratic host stall on the ONT
+        # fixture (rung leftovers can carry several quota-1 groups)
+        window_bases = 0
+        window_new = 0
 
-    # flush every ~4 batches of bases (carry-over keeps sub-quota groups
-    # out of the emitted stream, so smaller windows cost no extra padding);
-    # the read-count cap bounds the per-flush argsort for tiny-read files
+    # flush every ~4 batches of NEWLY APPENDED bases (carry-over keeps
+    # sub-quota groups out of the emitted stream, so smaller windows cost
+    # no extra padding); the read-count cap bounds the per-flush argsort
+    # for tiny-read files
     window_budget = 4 * max_batch_bases
     window_bases = 0
+    window_new = 0
     window_cap = batch_reads * 4
     if use_packed:
         reader = native.NativeFastxReader(path)
@@ -313,7 +321,8 @@ def read_batches(path: str, batch_reads: int = 10000,
                 indices.append(next_index)
                 next_index += 1
                 window_bases += ln
-                if window_bases >= window_budget or len(window) >= window_cap:
+                window_new += 1
+                if window_bases >= window_budget or window_new >= window_cap:
                     yield from flush(final=False)
         yield from flush(final=True)
         if stats is not None:
@@ -328,7 +337,8 @@ def read_batches(path: str, batch_reads: int = 10000,
         indices.append(next_index)
         next_index += 1
         window_bases += codes.size
-        if window_bases >= window_budget or len(window) >= window_cap:
+        window_new += 1
+        if window_bases >= window_budget or window_new >= window_cap:
             yield from flush(final=False)
     yield from flush(final=True)
 
