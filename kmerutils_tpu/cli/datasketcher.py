@@ -156,6 +156,10 @@ def main(argv=None):
     for batch, idx in fastx.read_batches_overlapped(
             args.filename, batch_reads=pack, stats=st, to_device=True):
         cur = (sk.sketch_batch(batch), np.asarray(idx))
+        # queue the device->host signature copy NOW (it runs as soon as
+        # the sketch completes, riding under the next batch's upload);
+        # the lagged np.asarray below then just drains a finished buffer
+        cur[0].copy_to_host_async()
         if prev is not None:
             blocks.append(np.asarray(prev[0])[: len(prev[1])])
             block_idx.append(prev[1])

@@ -54,6 +54,51 @@ class TestFastx:
         assert len(seen) == 57
         assert all(seen[i] == reads[i] for i in range(57))
 
+    @pytest.mark.parametrize("bucket", [False, True])
+    def test_shapes_are_deterministic_quota_rungs(self, rng, tmp_path,
+                                                  bucket):
+        # round 5 invariant: every emitted batch shape is exactly
+        # (pow2 row quota of its width rung, rung width) — data-dependent
+        # group sizes must never leak into shapes (each distinct shape is
+        # a full XLA compile), and the index stream must partition the
+        # file even with carry-over across flush windows
+        lens = np.concatenate([
+            rng.integers(60, 300, 400),          # short rung mix
+            rng.integers(300, 2000, 300),        # mid rungs
+            rng.integers(2000, 9000, 50),        # long tail
+        ])
+        rng.shuffle(lens)
+        reads = ["".join(rng.choice(list("ACGT"), size=int(n)))
+                 for n in lens]
+        p = str(tmp_path / "mix.fastq")
+        fastx.write_fastq(p, reads)
+
+        def qwidth(L):
+            L = max(L, 256)
+            pw = 1 << (L - 1).bit_length()
+            return 3 * pw // 4 if L <= 3 * pw // 4 else pw
+
+        def quota(Lq, batch_reads):
+            q = max(1, min(batch_reads, (8 << 20) // Lq))
+            n = 1 << (q - 1).bit_length()
+            return n if n <= q else n >> 1
+
+        seen_idx = []
+        for batch, idx in fastx.read_batches(p, batch_reads=10000,
+                                             bucket=bucket, to_host=True):
+            n, w = batch.words.shape
+            L = (w - 1) * 16
+            assert L == qwidth(L), (n, w)        # width on a rung
+            assert n == quota(L, 10000), (n, w)  # rows == pow2 quota
+            ll = np.asarray(batch.lengths)
+            assert int(ll.max()) <= L
+            if bucket:
+                # rung-pure: every live read in this batch is on the rung
+                live = ll[ll > 0]
+                assert all(qwidth(int(x)) == L for x in live)
+            seen_idx.extend(int(i) for i in idx)
+        assert sorted(seen_idx) == list(range(len(reads)))
+
     @pytest.mark.parametrize("to_device", [False, True])
     def test_overlapped_matches_plain(self, rng, tmp_path, to_device):
         # the two-stage (parse thread -> upload thread) pipeline yields
