@@ -484,7 +484,9 @@ def _finalize_prog(kw: int):
         # slot) and ships as an exact (entry index, gap >> 16) pair in a
         # FIXED-length list, so the host rebuild is one cumsum
         delta = jnp.concatenate([key_out[:1], key_out[1:] - key_out[:-1]])
-        live = jnp.arange(delta.shape[0], dtype=jnp.int64) < n
+        # i32 iota: physical lengths stay < 2^31 and the i64 form
+        # materialized a 2x-size transient (2.2 GB at 2^28 capacity)
+        live = jnp.arange(delta.shape[0], dtype=jnp.int32) < n.astype(I32)
         bad = live & (delta >= delta.dtype.type(1 << 16))
         n_big = jnp.sum(bad.astype(jnp.int64))
         d16 = delta.astype(jnp.uint16)
