@@ -71,9 +71,18 @@ def main():
     print(f"prep_sort    {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
     # --- fold at low occupancy (dead-tile skip regime) ---
-    table = stream.StreamCountTable.create(CAP, wide=False, coords=True)
-    dt = timeit(lambda: stream.fold(table, arrs, live),
-                lambda r: int(np.asarray(r.used)))
+    # folds DONATE the table's buffers (round 4): re-folding one table
+    # object is an invalid-buffer error, so the fold stages CHAIN state
+    # (occupancy drifts +8.4M per fold; n_iter kept small so the chain
+    # stays below the auto-compact trigger at 2^26)
+    state = {"t": stream.StreamCountTable.create(CAP, wide=False,
+                                                 coords=True)}
+
+    def fold_chain():
+        state["t"] = stream.fold(state["t"], arrs, live)
+        return state["t"]
+
+    dt = timeit(fold_chain, lambda r: int(np.asarray(r.used)), n_iter=2)
     print(f"fold_empty   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
 
     # --- build up occupancy (target ~60% of capacity; bounded folds) ---
@@ -81,7 +90,7 @@ def main():
     # so occupancy genuinely grows: genome-sampled reads would cap `used`
     # at the genome's distinct-kmer count after every auto-compaction and
     # a while-occupancy loop could never exit
-    t = table
+    t = state["t"]          # continue from the fold_empty chain's table
     target = int(CAP * 0.6)
     off = 0
     max_folds = -(-target // (N_READS * (RL - K + 1))) + 4
@@ -96,9 +105,16 @@ def main():
     used = int(np.asarray(t.used))
     print(f"  [occupancy {used/1e6:.1f} M / {CAP/1e6:.1f} M]")
 
-    dt = timeit(lambda: stream.fold(t, arrs, live),
-                lambda r: int(np.asarray(r.used)))
-    print(f"fold_60pct   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s")
+    state = {"t": t}
+
+    def fold_chain60():
+        state["t"] = stream.fold(state["t"], arrs, live)
+        return state["t"]
+
+    dt = timeit(fold_chain60, lambda r: int(np.asarray(r.used)), n_iter=2)
+    t = state["t"]
+    print(f"fold_60pct   {dt*1e3:8.2f} ms   {nb/dt/1e6:8.1f} Mb/s   "
+          f"(incl. auto-compacts; occupancy drifts)")
 
     # --- depth-2 staged cycle at the same occupancy (4 preps + 3 stage
     # merges + 1 table fold), per-batch cost for A/B with prep+fold above ---
@@ -115,6 +131,10 @@ def main():
           f"(incl. prep; depth 2)")
 
     # --- compact at the same occupancy ---
+    # the staged folds above donated the old `t`; use the folder's LIVE
+    # table (aggregate itself does not donate, so re-running it is fine)
+    t = folder.table
+    used = int(np.asarray(t.used))
     dt = timeit(lambda: aggregate_fold_i32(t.arrs, t.used, kw=1, coords=True,
                                            capacity=CAP, window=t.window),
                 lambda r: int(np.asarray(r[1])))
