@@ -137,6 +137,52 @@ def bench_sketch(rng):
     return N_READS * READ_LEN / dt / 1e6
 
 
+def bench_sketch_device(rng):
+    """DEVICE-attributed flagship rate via loop-count scaling: kk chained
+    perturbed steps inside ONE jitted fori_loop; (T(k2)-T(k1))/(k2-k1)
+    cancels dispatch and sync.  The headline (queued-step) rate includes
+    the tunnel's per-step dispatch cost, which drifts 636-950 Mbases/s
+    between sessions — this number does not (699-715 every session
+    measured), so the driver record carries both and a reader can tell a
+    kernel regression from RTT drift (tools/kernel_bench.py guards the
+    same quantity with a hard floor)."""
+    import functools
+    from kmerutils_tpu.base.sequence import ReadBatch
+    from kmerutils_tpu.sketch.jaccard import hashed_kmers
+    from kmerutils_tpu.sketch import probminhash
+    import jax.numpy as jnp
+
+    batch = make_batch(rng)
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def steps(words, lengths, kk: int):
+        def body(i, acc):
+            w = words ^ (jnp.uint32(0x9E3779B9) * i.astype(jnp.uint32))
+            items, valid = hashed_kmers(
+                ReadBatch(words=w, lengths=lengths), K)
+            sig, _, _ = probminhash.probminhash_from_items(
+                items, valid, M, heavy_cap=HEAVY_CAP)
+            return acc ^ sig
+        return jax.lax.fori_loop(
+            0, kk, body, jnp.zeros((words.shape[0], M), jnp.uint32))
+
+    k1, k2 = 2, 10
+    for kk in (k1, k2):
+        _ = int(np.asarray(steps(batch.words, batch.lengths, kk)[0, 0]))
+
+    def run(kk):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = steps(batch.words, batch.lengths, kk)
+            _ = int(np.asarray(s[0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (run(k2) - run(k1)) / (k2 - k1)
+    return N_READS * READ_LEN / dt / 1e6
+
+
 def bench_stream_count(rng):
     """Device-side streaming counting rate (kmers/s and Mbases/s) through
     the Pallas merge-fold table.  Synthetic genome-with-coverage batches
@@ -560,6 +606,9 @@ def main():
         OUT["value"] = round(mb, 2)
         OUT["vs_baseline"] = round(mb / BASELINE_MBASES_PER_S, 3)
 
+    def sec_sketch_device():
+        ex["sketch_device_mbases_s"] = round(bench_sketch_device(rng), 2)
+
     def sec_stream_count():
         mk, mb = bench_stream_count(rng)
         ex["stream_count_mkmers_s"] = round(mk, 2)
@@ -599,6 +648,7 @@ def main():
     # mode is then a truncated tail, not an empty record.
     _section("link", 30, sec_link)
     _section("sketch", 60, sec_sketch)
+    _section("sketch_device", 60, sec_sketch_device)
     _section("stream_count", 120, sec_stream_count)
     _section("aa_sketch", 60, sec_aa_sketch)
     _section("hll_collection", 60, sec_hll_collection)
