@@ -118,9 +118,13 @@ def main(argv=None):
             from ..count import spill as spill_mod
         offset = 0
         pending: list = []   # backpressure: bound the async dispatch depth
+        # --count may length-bucket (rung-pure batches, less padding on
+        # ONT-like length mixes); --unique must NOT: its coordinates are
+        # assigned row-major from read_num_offset, which requires batch
+        # rows in file order
         for batch, idx in fastx.read_batches_overlapped(
                 args.filename, batch_reads=args.batch_reads,
-                stats=st, bucket=False, to_device=True):
+                stats=st, bucket=bool(args.count), to_device=True):
             dist.record_batch(batch)
             arrs, live = prep(batch, k=k, read_num_offset=offset,
                               coords=coords)
