@@ -376,6 +376,36 @@ class TestNativeParser:
             assert vars(st_a) == vars(st_b)
 
 
+class TestParserEdgeCases:
+    @pytest.mark.parametrize("data,n_reads,n_bases", [
+        # CRLF line endings (both parsers must strip \r)
+        (b"@r0\r\nACGTACGT\r\n+\r\nIIIIIIII\r\n"
+         b"@r1\r\nTTTTCCCC\r\n+\r\nIIIIIIII\r\n", 2, 16),
+        # truncated: quality line missing entirely
+        (b"@r0\nACGTACGT\n+\n", 1, 8),
+        # truncated mid-quality
+        (b"@r0\nACGTACGT\n+\nIIII", 1, 8),
+    ])
+    def test_python_native_agree(self, tmp_path, data, n_reads, n_bases):
+        from kmerutils_tpu.io import native
+        p = str(tmp_path / "edge.fastq")
+        with open(p, "wb") as f:
+            f.write(data)
+        st_py = fastx.IngestStats()
+        # with_quality forces the pure-python parser branch
+        py = [c for c, _q in fastx.iter_clean_reads(p, st_py,
+                                                    with_quality=True)]
+        st_na = fastx.IngestStats()
+        na = list(fastx.iter_clean_reads(p, st_na))
+        assert len(py) == n_reads and st_py.n_bases == n_bases
+        if native.available():
+            assert len(na) == len(py)
+            for a, b in zip(py, na):
+                assert a.tolist() == b.tolist()
+            assert (st_na.n_reads, st_na.n_bases) == (st_py.n_reads,
+                                                      st_py.n_bases)
+
+
 class TestWrappedFastq:
     def test_wrapped_records_parse(self, tmp_path):
         # legal multi-line FASTQ: sequence and quality each wrap; the
